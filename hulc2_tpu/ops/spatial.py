@@ -1,0 +1,39 @@
+"""Spatial softmax keypoint pooling (Finn et al. 2015, arXiv 1509.06113).
+
+TPU-native equivalent of the reference's SpatialSoftmax module
+(reference: hulc2/models/perceptual_encoders/vision_network.py:74-108): one
+softmax + one small matmul over the flattened feature map, fully fuseable.
+
+Coordinate convention matches the reference bit-for-bit so converted
+checkpoints reproduce identical features. The reference builds its maps with
+``meshgrid(linspace(-1,1,num_cols), linspace(-1,1,num_rows), "ij")`` and is
+called with (num_rows, num_cols) = (conv_out_w, conv_out_h); unwinding the
+flattening shows that at feature position (row r, col c):
+    x_map = linspace(-1, 1, H)[r]      (varies over rows)
+    y_map = linspace(-1, 1, W)[c]      (varies over cols)
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def spatial_softmax_coords(h: int, w: int) -> jnp.ndarray:
+    """(H*W, 2) map of per-position (x, y) coordinates, reference convention."""
+    xs = jnp.broadcast_to(jnp.linspace(-1.0, 1.0, h)[:, None], (h, w))
+    ys = jnp.broadcast_to(jnp.linspace(-1.0, 1.0, w)[None, :], (h, w))
+    return jnp.stack([xs.reshape(-1), ys.reshape(-1)], axis=-1)
+
+
+def spatial_softmax(features: jnp.ndarray, temperature: jnp.ndarray) -> jnp.ndarray:
+    """(N, H, W, C) feature maps -> (N, 2*C) expected keypoint coordinates.
+
+    NHWC layout (TPU-native). Output ordering per sample is
+    (x_0, y_0, x_1, y_1, ...) matching the reference's cat + view on NCHW.
+    """
+    n, h, w, c = features.shape
+    coords = spatial_softmax_coords(h, w).astype(features.dtype)  # (H*W, 2)
+    logits = jnp.transpose(features, (0, 3, 1, 2)).reshape(n * c, h * w)
+    attn = jax.nn.softmax(logits / temperature, axis=-1)
+    exy = attn @ coords  # (N*C, 2)
+    return exy.reshape(n, c * 2)
