@@ -1,0 +1,332 @@
+"""Policy-training config groups.
+
+Mirrors the reference's Hydra group structure and defaults
+(reference: conf/cfg_low_level.yaml, conf/model/calvin_hulc++.yaml and its
+subgroups) as registered Python dicts. Values are the CALVIN defaults.
+"""
+from hulc2_tpu.core.config import register
+
+# --------------------------------------------------------------------------- #
+# model / perceptual_encoder                                                   #
+# --------------------------------------------------------------------------- #
+VISION_STATIC = {
+    "_name_": "vision_network",
+    "visual_features": 64,
+    "activation_function": "ReLU",
+    "dropout_vis_fc": 0.0,
+    "l2_normalize_output": False,
+    "use_sinusoid": False,
+    "spatial_softmax_temp": 1.0,
+}
+VISION_GRIPPER = {
+    "_name_": "vision_network_gripper",
+    "visual_features": 64,
+    "conv_encoder": "nature_cnn",
+    "activation_function": "ReLU",
+    "dropout_vis_fc": 0.0,
+    "l2_normalize_output": False,
+}
+DEPTH_STATIC = {**VISION_STATIC}
+DEPTH_GRIPPER = {**VISION_GRIPPER}
+PROPRIO_IDENTITY = {"n_state_obs": 8}
+
+register(
+    "model/perceptual_encoder",
+    "gripper_cam",  # CALVIN HULC default: static + gripper RGB, no proprio
+    {
+        "rgb_static": VISION_STATIC,
+        "rgb_gripper": VISION_GRIPPER,
+        "depth_static": None,
+        "depth_gripper": None,
+        "tactile": None,
+        "proprio": None,
+    },
+)
+register(
+    "model/perceptual_encoder",
+    "static_rgb",
+    {
+        "rgb_static": VISION_STATIC,
+        "rgb_gripper": None,
+        "depth_static": None,
+        "depth_gripper": None,
+        "tactile": None,
+        "proprio": PROPRIO_IDENTITY,
+    },
+)
+register(
+    "model/perceptual_encoder",
+    "rgbd_both",
+    {
+        "rgb_static": VISION_STATIC,
+        "rgb_gripper": VISION_GRIPPER,
+        "depth_static": DEPTH_STATIC,
+        "depth_gripper": DEPTH_GRIPPER,
+        "tactile": None,
+        "proprio": None,
+    },
+)
+
+# --------------------------------------------------------------------------- #
+# model subgroups                                                              #
+# --------------------------------------------------------------------------- #
+register("model/distribution", "discrete", {"dist": "discrete", "category_size": 32, "class_size": 32})
+register("model/distribution", "continuous", {"dist": "continuous", "plan_features": 256})
+
+register("model/plan_proposal", "default", {"hidden_size": 2048, "activation_function": "ReLU"})
+register(
+    "model/plan_recognition",
+    "transformers",
+    {
+        "kind": "transformers",
+        "num_heads": 8,
+        "num_layers": 2,
+        "encoder_hidden_size": 2048,
+        "fc_hidden_size": 4096,
+        "dropout_p": 0.1,
+        "encoder_normalize": False,
+        "positional_normalize": False,
+        "position_embedding": True,
+        "max_position_embeddings": "${datamodule.max_window_size}",
+    },
+)
+register("model/plan_recognition", "bilstm", {"kind": "bilstm"})
+register("model/plan_recognition", "birnn", {"kind": "birnn"})
+
+register(
+    "model/visual_goal",
+    "default",
+    {"hidden_size": 2048, "latent_goal_features": 32, "l2_normalize_goal_embeddings": False},
+)
+register(
+    "model/language_goal",
+    "default",
+    {
+        "in_features": 384,
+        "hidden_size": 2048,
+        "latent_goal_features": 32,
+        "l2_normalize_goal_embeddings": False,
+        "word_dropout_p": 0.0,
+    },
+)
+register(
+    "model/action_decoder",
+    "logistic_decoder_rnn_calvin",
+    {
+        "kind": "logistic",
+        "n_mixtures": 10,
+        "hidden_size": 2048,
+        "out_features": "${datamodule.action_space}",
+        "log_scale_min": -7.0,
+        "act_max_bound": "${datamodule.action_max}",
+        "act_min_bound": "${datamodule.action_min}",
+        "num_classes": 10,
+        "gripper_alpha": 1.0,
+        "perceptual_emb_slice": [64, 128],
+        "policy_rnn_dropout_p": 0.0,
+        "num_layers": 2,
+        "rnn_model": "rnn_decoder",
+        "gripper_control": True,
+        "discrete_gripper": True,
+    },
+)
+register(
+    "model/action_decoder",
+    "deterministic",
+    {
+        "kind": "deterministic",
+        "hidden_size": 2048,
+        "out_features": "${datamodule.action_space}",
+        "perceptual_emb_slice": [64, 128],
+        "policy_rnn_dropout_p": 0.0,
+        "num_layers": 2,
+        "rnn_model": "rnn_decoder",
+        "criterion": "HuberLoss",
+        "gripper_control": False,
+    },
+)
+
+register("model/optimizer", "adam", {"kind": "adam", "lr": "${training.lr}"})
+register("model/optimizer", "adamw", {"kind": "adamw", "lr": "${training.lr}", "weight_decay": 1e-6})
+register("model/lr_scheduler", "constant", {"kind": "constant"})
+register(
+    "model/lr_scheduler",
+    "linear_warmup",
+    {"kind": "linear_warmup", "num_warmup_steps": 0.1, "num_training_steps": -1},
+)
+register("model/proj_vis_lang", "default", {"output_dim": 32, "proj_lang": True})
+
+# --------------------------------------------------------------------------- #
+# model composites                                                             #
+# --------------------------------------------------------------------------- #
+register(
+    "model",
+    "calvin_hulc",
+    {
+        "_defaults_": [
+            ("model/perceptual_encoder", "gripper_cam"),
+            ("model/plan_proposal", "default"),
+            ("model/plan_recognition", "transformers"),
+            ("model/distribution", "discrete"),
+            ("model/visual_goal", "default"),
+            ("model/language_goal", "default"),
+            ("model/action_decoder", "logistic_decoder_rnn_calvin"),
+            ("model/optimizer", "adam"),
+            ("model/lr_scheduler", "constant"),
+            ("model/proj_vis_lang", "default"),
+        ],
+        "kl_beta": "${loss.kl_beta}",
+        "kl_balancing_mix": "${loss.kl_balancing_mix}",
+        "replan_freq": 30,
+        "use_clip_auxiliary_loss": True,
+        "clip_auxiliary_loss_beta": "${loss.clip_auxiliary_loss_beta}",
+        "use_plan": True,
+        "compute_dtype": "bfloat16",
+    },
+)
+register(
+    "model",
+    "gcbc",
+    {
+        "_defaults_": [
+            ("model/perceptual_encoder", "gripper_cam"),
+            ("model/plan_proposal", "default"),
+            ("model/plan_recognition", "transformers"),
+            ("model/distribution", "discrete"),
+            ("model/visual_goal", "default"),
+            ("model/language_goal", "default"),
+            ("model/action_decoder", "logistic_decoder_rnn_calvin"),
+            ("model/optimizer", "adam"),
+            ("model/lr_scheduler", "constant"),
+            ("model/proj_vis_lang", "default"),
+        ],
+        "kl_beta": 0.0,
+        "kl_balancing_mix": "${loss.kl_balancing_mix}",
+        "replan_freq": 30,
+        "use_clip_auxiliary_loss": True,
+        "clip_auxiliary_loss_beta": "${loss.clip_auxiliary_loss_beta}",
+        "use_plan": False,
+        "compute_dtype": "bfloat16",
+    },
+)
+
+# --------------------------------------------------------------------------- #
+# loss / training / trainer / datamodule groups                                #
+# --------------------------------------------------------------------------- #
+register(
+    "loss",
+    "default",
+    {
+        "kl_beta": 0.01,
+        "kl_balancing_mix": 0.8,
+        "clip_auxiliary_loss_beta": 3.0,
+        "state_recon_beta": 0.5,
+        "bc_z_auxiliary_loss_beta": 1.0,
+        "mia_auxiliary_loss_beta": 1.0,
+    },
+)
+register(
+    "training",
+    "default_training",
+    {"lr": 2e-4, "max_epochs": 100, "precision": "bf16", "seed": 42},
+)
+register(
+    "trainer",
+    "play_trainer",
+    {
+        "max_epochs": "${training.max_epochs}",
+        "log_every_n_steps": 50,
+        "val_check_interval": 1.0,
+        "limit_train_batches": None,
+        "limit_val_batches": None,
+    },
+)
+register(
+    "datamodule",
+    "calvin_default",
+    {
+        "root_data_dir": "data/calvin_debug_dataset",
+        "action_space": 7,
+        "action_max": [1.0] * 7,
+        "action_min": [-1.0] * 7,
+        "batch_size_vis": 32,
+        "batch_size_lang": 32,
+        "min_window_size": 20,
+        "max_window_size": 32,
+        "skip_frames": 1,
+        "pad": True,
+        "lang_folder": "lang_annotations",
+        "aux_lang_loss_window": 8,
+        "data_percent": 1.0,
+        "load_lang_embeddings": True,
+        "num_workers": 8,
+        "shuffle_val": False,
+        "observation_space": {
+            "rgb_obs": ["rgb_static", "rgb_gripper"],
+            "depth_obs": [],
+            "state_obs": ["robot_obs"],
+            "actions": ["rel_actions"],
+            "language": ["language"],
+        },
+        "proprioception_dims": {
+            "n_state_obs": 8,
+            "keep_indices": [[0, 7], [14, 15]],
+            "robot_orientation_idx": [3, 6],
+            "normalize": True,
+            "normalize_robot_orientation": True,
+        },
+        "transforms": "rand_shift",
+    },
+)
+
+register(
+    "callbacks",
+    "calvin_default",
+    {
+        "checkpoint": {"save_top_k": -1, "monitor": None, "every_n_epochs": 1},
+        "kl_schedule": {"kind": "constant", "kl_beta": "${loss.kl_beta}"},
+        "rollout": None,
+        "rollout_lh": None,
+        "tsne_plot": None,
+    },
+)
+
+# --------------------------------------------------------------------------- #
+# top-level composites                                                         #
+# --------------------------------------------------------------------------- #
+register(
+    "root",
+    "cfg_low_level",
+    {
+        "_defaults_": [
+            ("callbacks", "calvin_default"),
+            ("datamodule", "calvin_default"),
+            ("model", "calvin_hulc"),
+            ("loss", "default"),
+            ("training", "default_training"),
+            ("trainer", "play_trainer"),
+        ],
+        "data_percent": 1.0,
+        "seed": 42,
+        "log_dir": "runs",
+        "logger": "jsonl",
+    },
+)
+register(
+    "root",
+    "cfg_gcbc",
+    {
+        "_defaults_": [
+            ("callbacks", "calvin_default"),
+            ("datamodule", "calvin_default"),
+            ("model", "gcbc"),
+            ("loss", "default"),
+            ("training", "default_training"),
+            ("trainer", "play_trainer"),
+        ],
+        "data_percent": 1.0,
+        "seed": 42,
+        "log_dir": "runs",
+        "logger": "jsonl",
+    },
+)

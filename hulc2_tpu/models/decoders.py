@@ -1,0 +1,187 @@
+"""Action decoders: logistic-mixture RNN policy head + deterministic baseline.
+
+TPU-native re-design of the reference decoders
+(reference: hulc2/models/decoders/logistic_decoder_rnn.py:27,
+ hulc2/models/decoders/deterministic_decoder.py:13):
+
+- The decoder is a *pure function*; rollout hidden state is an explicit carry
+  returned to the caller (the reference mutates ``self.hidden_state``), which
+  is what lets the whole inference step live inside one jitted function.
+- The RNN input projection for all timesteps is hoisted into one MXU matmul
+  (see ``hulc2_tpu.models.layers.StackedRNNBase``).
+- The logistic-mixture loss / sampling are the fused VPU ops in
+  ``hulc2_tpu.ops.logistic``; world<->TCP frame conversion is the pure-JAX
+  math in ``hulc2_tpu.ops.gripper_frame`` (fp32 islands, like the reference's
+  autocast fp32 blocks).
+
+Default CALVIN config (conf/model/action_decoder/logistic_decoder_rnn_calvin.
+yaml): 10 mixtures, 2x2048 ReLU RNN, perceptual_emb_slice [64,128] (gripper
+cam features only), discrete 2-class gripper head, gripper_control=true.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from hulc2_tpu.models.layers import GRU, LSTM, MLP, Dense, ReluRNN
+from hulc2_tpu.ops import logistic
+from hulc2_tpu.ops.gripper_frame import tcp_to_world_frame, world_to_tcp_frame
+
+_RNN_MODELS = {
+    "rnn_decoder": lambda h, n: ReluRNN(h, n, name="rnn"),
+    "gru_decoder": lambda h, n: GRU(h, n, name="rnn"),
+    "lstm_decoder": lambda h, n: LSTM(h, n, name="rnn"),
+}
+
+
+class DecoderOutput(NamedTuple):
+    logit_probs: jnp.ndarray  # (B, S, A-1, K)
+    log_scales: jnp.ndarray
+    means: jnp.ndarray
+    gripper_logits: Optional[jnp.ndarray]  # (B, S, 2) when discrete_gripper
+    hidden: jnp.ndarray  # RNN carry for stateful rollout
+
+
+class LogisticPolicyDecoder(nn.Module):
+    """RNN over [plan ++ perceptual_emb_slice ++ goal] -> mixture params."""
+
+    out_features: int = 7
+    n_mixtures: int = 10
+    hidden_size: int = 2048
+    num_layers: int = 2
+    rnn_model: str = "rnn_decoder"
+    policy_rnn_dropout_p: float = 0.0
+    perceptual_emb_slice: Tuple[int, int] = (64, 128)
+    log_scale_min: float = -7.0
+    num_classes: int = 10
+    gripper_alpha: float = 1.0
+    gripper_control: bool = True
+    discrete_gripper: bool = True
+    act_max_bound: Sequence[float] = (1.0,) * 7
+    act_min_bound: Sequence[float] = (-1.0,) * 7
+    dtype: Optional[jnp.dtype] = None
+
+    @property
+    def mixture_dims(self) -> int:
+        return self.out_features - 1 if self.discrete_gripper else self.out_features
+
+    def _bounds(self):
+        amax = jnp.asarray(self.act_max_bound, jnp.float32)
+        amin = jnp.asarray(self.act_min_bound, jnp.float32)
+        if self.discrete_gripper:
+            return amin[:-1][:, None], amax[:-1][:, None]  # (A-1, 1): broadcast over K
+        return amin[:, None], amax[:, None]
+
+    @property
+    def gripper_bounds(self):
+        return jnp.asarray([self.act_min_bound[-1], self.act_max_bound[-1]], jnp.float32)
+
+    @nn.compact
+    def __call__(
+        self,
+        latent_plan: jnp.ndarray,
+        perceptual_emb: jnp.ndarray,
+        latent_goal: jnp.ndarray,
+        h0: Optional[jnp.ndarray] = None,
+    ) -> DecoderOutput:
+        emb = perceptual_emb[..., self.perceptual_emb_slice[0] : self.perceptual_emb_slice[1]]
+        b, s, _ = emb.shape
+        plan = jnp.broadcast_to(latent_plan[:, None, :], (b, s, latent_plan.shape[-1]))
+        goal = jnp.broadcast_to(latent_goal[:, None, :], (b, s, latent_goal.shape[-1]))
+        x = jnp.concatenate([plan, emb, goal], axis=-1)
+        if self.rnn_model == "mlp_decoder":
+            x = MLP([self.hidden_size] * 3, name="rnn")(x)
+            h_n = jnp.zeros((self.num_layers, b, self.hidden_size), x.dtype)
+        else:
+            x, h_n = _RNN_MODELS[self.rnn_model](self.hidden_size, self.num_layers)(x, h0)
+
+        a, k = self.mixture_dims, self.n_mixtures
+        probs = Dense(a * k, dtype=self.dtype, name="prob_fc")(x).reshape(b, s, a, k)
+        means = Dense(a * k, dtype=self.dtype, name="mean_fc")(x).reshape(b, s, a, k)
+        log_scales = Dense(a * k, dtype=self.dtype, name="log_scale_fc")(x).reshape(b, s, a, k)
+        log_scales = jnp.maximum(log_scales, self.log_scale_min)
+        gripper = Dense(2, dtype=self.dtype, name="gripper_fc")(x) if self.discrete_gripper else None
+        return DecoderOutput(
+            probs.astype(jnp.float32),
+            log_scales.astype(jnp.float32),
+            means.astype(jnp.float32),
+            None if gripper is None else gripper.astype(jnp.float32),
+            h_n,
+        )
+
+    # ---- pure loss / sampling helpers (operate on DecoderOutput) ----------
+    def compute_loss(self, out: DecoderOutput, actions: jnp.ndarray, robot_obs: jnp.ndarray) -> jnp.ndarray:
+        """NLL + gripper CE; converts target actions into the TCP frame when
+        gripper_control is on (reference: logistic_decoder_rnn.py:118-152)."""
+        if self.gripper_control:
+            actions = world_to_tcp_frame(actions, robot_obs)
+        amin, amax = self._bounds()
+        cont_targets = actions[..., :-1] if self.discrete_gripper else actions
+        nll = logistic.logistic_mixture_loss(
+            out.logit_probs, out.log_scales, out.means, cont_targets,
+            amin, amax, self.num_classes, self.log_scale_min,
+        )
+        if not self.discrete_gripper:
+            return nll
+        # gripper actions are -1/1 -> class 0/1
+        labels = (actions[..., -1] > 0).astype(jnp.int32)
+        logp = jax.nn.log_softmax(out.gripper_logits, axis=-1)
+        ce = -jnp.mean(jnp.take_along_axis(logp, labels[..., None], axis=-1))
+        return nll + self.gripper_alpha * ce
+
+    def sample_actions(self, rng: jax.Array, out: DecoderOutput, robot_obs: jnp.ndarray) -> jnp.ndarray:
+        """Sample world-frame actions (B, S, A)."""
+        cont = logistic.logistic_mixture_sample(rng, out.logit_probs, out.log_scales, out.means)
+        if self.discrete_gripper:
+            grip = self.gripper_bounds[jnp.argmax(out.gripper_logits, axis=-1)]
+            act = jnp.concatenate([cont, grip[..., None]], axis=-1)
+        else:
+            act = cont
+        if self.gripper_control:
+            act = tcp_to_world_frame(act, robot_obs)
+        return act
+
+
+class DeterministicDecoder(nn.Module):
+    """RNN -> tanh actions, Huber/MSE loss baseline
+    (reference: deterministic_decoder.py:13-108)."""
+
+    out_features: int = 7
+    hidden_size: int = 2048
+    num_layers: int = 2
+    rnn_model: str = "rnn_decoder"
+    policy_rnn_dropout_p: float = 0.0
+    perceptual_emb_slice: Tuple[int, int] = (64, 128)
+    criterion: str = "HuberLoss"
+    gripper_control: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, latent_plan, perceptual_emb, latent_goal, h0=None):
+        emb = perceptual_emb[..., self.perceptual_emb_slice[0] : self.perceptual_emb_slice[1]]
+        b, s, _ = emb.shape
+        parts = []
+        if latent_plan.size:
+            parts.append(jnp.broadcast_to(latent_plan[:, None, :], (b, s, latent_plan.shape[-1])))
+        parts.append(emb)
+        parts.append(jnp.broadcast_to(latent_goal[:, None, :], (b, s, latent_goal.shape[-1])))
+        x = jnp.concatenate(parts, axis=-1)
+        if self.rnn_model == "mlp_decoder":
+            x = MLP([self.hidden_size] * 3, name="rnn")(x)
+            h_n = jnp.zeros((self.num_layers, b, self.hidden_size), x.dtype)
+        else:
+            x, h_n = _RNN_MODELS[self.rnn_model](self.hidden_size, self.num_layers)(x, h0)
+        actions = jnp.tanh(Dense(self.out_features, dtype=self.dtype, name="actions")(x))
+        return actions.astype(jnp.float32), h_n
+
+    def compute_loss(self, pred_actions, actions, robot_obs):
+        target = world_to_tcp_frame(actions, robot_obs) if self.gripper_control else actions
+        err = pred_actions - target
+        if self.criterion == "MSELoss":
+            return jnp.mean(err**2)
+        # HuberLoss, delta=1 (torch default)
+        a = jnp.abs(err)
+        return jnp.mean(jnp.where(a < 1.0, 0.5 * err**2, a - 0.5))
