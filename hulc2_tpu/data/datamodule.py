@@ -1,0 +1,144 @@
+"""DataModule: wires indices, stores, datasets and loaders for {vis, lang} x
+{train, val}.
+
+Role-equivalent to the reference's Hulc2SimdDataModule
+(reference: hulc2/datasets/hulc2_sim_data_module.py:23-126): builds vision +
+language datasets per split, optionally preloads everything into a RAM /
+shared-memory cache, and yields per-step dicts of both modality batches.
+"""
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from typing import Dict, Iterator, Optional
+
+from hulc2_tpu.data import episode_index as ei
+from hulc2_tpu.data.frame_store import NpzFrameStore, RamFrameStore
+from hulc2_tpu.data.loader import BatchLoader, zip_modalities
+from hulc2_tpu.data.random_data import RandomWindowDataset
+from hulc2_tpu.data.statistics import DatasetStatistics, load_statistics
+from hulc2_tpu.data.window_dataset import WindowDataset
+
+logger = logging.getLogger(__name__)
+
+
+class Hulc2DataModule:
+    def __init__(self, dm_cfg: dict, seed: int = 42, use_shm_cache: bool = False,
+                 process_index: int = 0, process_count: int = 1):
+        self.cfg = dm_cfg
+        self.seed = seed
+        self.use_shm_cache = use_shm_cache
+        self.process_index = process_index
+        self.process_count = process_count
+        self.root = Path(dm_cfg["root_data_dir"])
+        self.stats: Dict[str, DatasetStatistics] = {}
+        self._stores: Dict[str, object] = {}
+        self.datasets: Dict[str, WindowDataset] = {}
+
+    # ------------------------------------------------------------------ #
+    def setup(self):
+        obs = self.cfg["observation_space"]
+        frame_keys = (
+            list(obs["rgb_obs"]) + list(obs["depth_obs"]) + list(obs["state_obs"]) + list(obs["actions"])
+        )
+        if "robot_obs" not in frame_keys:
+            frame_keys.append("robot_obs")
+        for split in ("training", "validation"):
+            split_dir = self.root / split
+            self.stats[split] = load_statistics(split_dir)
+            npz = NpzFrameStore(split_dir, frame_keys)
+            if self.use_shm_cache:
+                ep_ids = ei.load_ep_start_end_ids(split_dir, split)
+                store = RamFrameStore(npz, ep_ids, frame_keys, use_shm=True)
+            else:
+                store = npz
+            self._stores[split] = store
+
+            vis_index = ei.build_vision_index(
+                split_dir, split, self.cfg["min_window_size"], self.cfg["max_window_size"],
+                self.cfg.get("data_percent", 1.0),
+            )
+            lang_index = ei.build_lang_index(
+                split_dir, split, self.cfg["min_window_size"], self.cfg["max_window_size"],
+                self.cfg["lang_folder"], self.cfg.get("skip_frames", 1),
+                self.cfg.get("data_percent", 1.0), self.cfg.get("aux_lang_loss_window", 8),
+                self.cfg.get("load_lang_embeddings", True),
+            )
+            for key, index in (("vis", vis_index), ("lang", lang_index)):
+                self.datasets[f"{key}_{split}"] = WindowDataset(
+                    index, store, obs, pad=self.cfg.get("pad", True), seed=self.seed
+                )
+        logger.info(
+            "datamodule: %s",
+            {k: len(v) for k, v in self.datasets.items()},
+        )
+
+    # ------------------------------------------------------------------ #
+    def _loader(self, key: str, split: str, shuffle: bool) -> BatchLoader:
+        bs = self.cfg.get(f"batch_size_{key}", self.cfg.get("batch_size", 32))
+        return BatchLoader(
+            self.datasets[f"{key}_{split}"],
+            batch_size=bs,
+            shuffle=shuffle,
+            seed=self.seed,
+            num_threads=self.cfg.get("num_workers", 4),
+            process_index=self.process_index,
+            process_count=self.process_count,
+        )
+
+    def train_loaders(self):
+        return self._loader("vis", "training", True), self._loader("lang", "training", True)
+
+    def val_loaders(self):
+        shuffle = self.cfg.get("shuffle_val", False)
+        return self._loader("vis", "validation", shuffle), self._loader("lang", "validation", shuffle)
+
+    def train_iter(self) -> Iterator[Dict]:
+        vis, lang = self.train_loaders()
+        return zip_modalities(vis, lang)
+
+    def val_iter(self) -> Iterator[Dict]:
+        vis, lang = self.val_loaders()
+        return zip_modalities(vis, lang)
+
+    def steps_per_epoch(self) -> int:
+        vis, lang = self.train_loaders()
+        return min(len(vis), len(lang))
+
+
+class RandomDataModule:
+    """Synthetic stand-in with the DataModule interface (smoke/bench)."""
+
+    def __init__(self, dm_cfg: dict, n_samples: int = 512, seed: int = 42, **_):
+        self.cfg = dm_cfg
+        self.seed = seed
+        self.n = n_samples
+        self.stats = {"training": DatasetStatistics(), "validation": DatasetStatistics()}
+        self.datasets = {}
+
+    def setup(self):
+        s = self.cfg["max_window_size"]
+        for split in ("training", "validation"):
+            n = self.n if split == "training" else max(self.n // 8, 2)
+            self.datasets[f"vis_{split}"] = RandomWindowDataset(n, s, with_lang=False, seed=self.seed)
+            self.datasets[f"lang_{split}"] = RandomWindowDataset(n, s, with_lang=True, seed=self.seed + 1)
+
+    def _loader(self, key, split, shuffle):
+        bs = self.cfg.get(f"batch_size_{key}", 32)
+        return BatchLoader(self.datasets[f"{key}_{split}"], bs, shuffle, self.seed)
+
+    def train_loaders(self):
+        return self._loader("vis", "training", True), self._loader("lang", "training", True)
+
+    def val_loaders(self):
+        return self._loader("vis", "validation", False), self._loader("lang", "validation", False)
+
+    def train_iter(self):
+        return zip_modalities(*self.train_loaders())
+
+    def val_iter(self):
+        return zip_modalities(*self.val_loaders())
+
+    def steps_per_epoch(self):
+        vis, lang = self.train_loaders()
+        return min(len(vis), len(lang))

@@ -1,0 +1,192 @@
+"""On-device batch preprocessing: raw collated arrays -> model batch.
+
+This is the fused, jit-compiled replacement for the reference's per-worker
+torchvision transform pipelines (reference: conf/datamodule/transforms/*.yaml,
+hulc2/datasets/utils/episode_utils.py:12-153). It runs as the first stage of
+the train/val step on TPU: uint8 frames are augmented (random shift / noise /
+jitter), scaled and normalized in one fused XLA program, and the proprio state
+is normalized + sliced per ``proprioception_dims``.
+
+Transform pipelines are declarative lists of ops (mirroring the reference's
+yaml structure), interpreted once at trace time.
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hulc2_tpu.core import prng
+from hulc2_tpu.data.statistics import DatasetStatistics
+from hulc2_tpu.ops import preprocess
+
+# declarative pipelines == conf/datamodule/transforms/rand_shift.yaml
+TRANSFORM_PRESETS = {
+    "rand_shift": {
+        "train": {
+            "rgb_static": [
+                {"op": "resize", "size": 200},
+                {"op": "random_shift", "pad": 10},
+                {"op": "scale_normalize", "mean": [0.5], "std": [0.5]},
+            ],
+            "rgb_gripper": [
+                {"op": "resize", "size": 84},
+                {"op": "random_shift", "pad": 4},
+                {"op": "scale_normalize", "mean": [0.5], "std": [0.5]},
+            ],
+            "depth_static": [{"op": "resize", "size": 200}, {"op": "depth_noise"}],
+            "depth_gripper": [{"op": "resize", "size": 84}, {"op": "gaussian_noise", "std": 0.01}],
+            "rgb_tactile": [
+                {"op": "resize", "size": 70},
+                {"op": "random_crop", "size": 64},
+                {"op": "scale_normalize", "mean": [0.5], "std": [0.5]},
+            ],
+        },
+        "val": {
+            "rgb_static": [
+                {"op": "resize", "size": 200},
+                {"op": "scale_normalize", "mean": [0.5], "std": [0.5]},
+            ],
+            "rgb_gripper": [
+                {"op": "resize", "size": 84},
+                {"op": "scale_normalize", "mean": [0.5], "std": [0.5]},
+            ],
+            "depth_static": [{"op": "resize", "size": 200}],
+            "depth_gripper": [{"op": "resize", "size": 84}],
+            "rgb_tactile": [
+                {"op": "resize", "size": 70},
+                {"op": "random_crop", "size": 64},
+                {"op": "scale_normalize", "mean": [0.5], "std": [0.5]},
+            ],
+        },
+    },
+    "play_basic": {
+        "train": {
+            "rgb_static": [
+                {"op": "resize", "size": 200},
+                {"op": "scale_normalize", "mean": [0.5], "std": [0.5]},
+            ],
+            "rgb_gripper": [
+                {"op": "resize", "size": 84},
+                {"op": "scale_normalize", "mean": [0.5], "std": [0.5]},
+            ],
+        },
+        "val": {
+            "rgb_static": [
+                {"op": "resize", "size": 200},
+                {"op": "scale_normalize", "mean": [0.5], "std": [0.5]},
+            ],
+            "rgb_gripper": [
+                {"op": "resize", "size": 84},
+                {"op": "scale_normalize", "mean": [0.5], "std": [0.5]},
+            ],
+        },
+    },
+}
+
+
+def _apply_ops(rng: jax.Array, imgs: jnp.ndarray, ops: list, dtype) -> jnp.ndarray:
+    """imgs: (N, H, W, C) uint8/float -> transformed float images."""
+    x = imgs
+    for i, op in enumerate(ops):
+        key = jax.random.fold_in(rng, i)
+        kind = op["op"]
+        if kind == "resize":
+            if x.shape[1] != op["size"] or x.shape[2] != op["size"]:
+                x = preprocess.resize_shorter_edge(x, op["size"])
+        elif kind == "random_shift":
+            x = preprocess.random_shift(key, x, op["pad"])
+        elif kind == "random_crop":
+            x = preprocess.random_crop(key, x, op["size"], op["size"])
+        elif kind == "scale_normalize":
+            x = preprocess.scale_and_normalize(x, op["mean"], op["std"], dtype)
+        elif kind == "normalize":
+            x = preprocess.normalize_vector(x.astype(dtype), op["mean"], op["std"])
+        elif kind == "gaussian_noise":
+            x = preprocess.add_gaussian_noise(key, x.astype(dtype), op.get("mean", 0.0), op["std"])
+        elif kind == "depth_noise":
+            x = preprocess.add_depth_noise(key, x.astype(dtype), op.get("shape", 1000.0), op.get("rate", 1000.0))
+        elif kind == "color_jitter":
+            x = preprocess.color_jitter(
+                key, x,
+                op.get("contrast", 0.3), op.get("brightness", 0.3),
+                op.get("hue", 0.3), op.get("prob", 0.3),
+            )
+        else:
+            raise ValueError(f"unknown transform op {kind}")
+    return x.astype(dtype)
+
+
+def process_proprio(
+    robot_obs_raw: jnp.ndarray,
+    stats: DatasetStatistics,
+    proprio_cfg: dict,
+    scene_obs: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Normalize + slice proprioception (reference: episode_utils.py:12-57)."""
+    parts_norm, parts_raw = [robot_obs_raw], [robot_obs_raw]
+    if stats.robot_obs_mean is not None:
+        parts_norm[0] = preprocess.normalize_vector(
+            robot_obs_raw, stats.robot_obs_mean, stats.robot_obs_std
+        )
+    if scene_obs is not None:
+        parts_raw.append(scene_obs)
+        parts_norm.append(
+            preprocess.normalize_vector(scene_obs, stats.scene_obs_mean, stats.scene_obs_std)
+            if stats.scene_obs_mean is not None
+            else scene_obs
+        )
+    normed = jnp.concatenate(parts_norm, axis=-1)
+    raw = jnp.concatenate(parts_raw, axis=-1)
+
+    if not proprio_cfg.get("normalize_robot_orientation", True) and "robot_orientation_idx" in proprio_cfg:
+        lo, hi = proprio_cfg["robot_orientation_idx"]
+        normed = normed.at[..., lo:hi].set(raw[..., lo:hi])
+    if not proprio_cfg.get("normalize", True):
+        normed = raw
+    slices = [normed[..., lo:hi] for lo, hi in proprio_cfg["keep_indices"]]
+    return jnp.concatenate(slices, axis=-1)
+
+
+def make_batch_transform(
+    observation_space: dict,
+    proprio_cfg: dict,
+    stats: DatasetStatistics,
+    transforms_name: str = "rand_shift",
+    train: bool = True,
+    dtype=jnp.float32,
+) -> Callable:
+    """Build fn(rng, raw_modality_batch) -> model modality batch (traceable)."""
+    pipelines = TRANSFORM_PRESETS[transforms_name]["train" if train else "val"]
+    rgb_keys = list(observation_space["rgb_obs"])
+    depth_keys = list(observation_space["depth_obs"])
+
+    def transform(rng: jax.Array, raw: Dict[str, jnp.ndarray]) -> Dict:
+        out: Dict = {"rgb_obs": {}, "depth_obs": {}}
+        for cam in rgb_keys:
+            imgs = raw[cam]
+            b, s = imgs.shape[:2]
+            flat = imgs.reshape(b * s, *imgs.shape[2:])
+            key = prng.stream(rng, cam)
+            res = _apply_ops(key, flat, pipelines.get(cam, []), dtype)
+            out["rgb_obs"][cam] = res.reshape(b, s, *res.shape[1:])
+        for cam in depth_keys:
+            dm = raw[cam]
+            b, s = dm.shape[:2]
+            flat = dm.reshape(b * s, *dm.shape[2:], 1)
+            key = prng.stream(rng, cam)
+            res = _apply_ops(key, flat, pipelines.get(cam, []), dtype)
+            out["depth_obs"][cam] = res.reshape(b, s, *res.shape[1:-1])
+        out["robot_obs"] = process_proprio(
+            raw["robot_obs_raw"], stats, proprio_cfg, raw.get("scene_obs")
+        )
+        out["robot_obs_raw"] = raw["robot_obs_raw"]
+        out["actions"] = raw["actions"]
+        if "lang" in raw:
+            out["lang"] = raw["lang"]
+            out["use_for_aux_lang_loss"] = raw["use_for_aux_lang_loss"]
+        return out
+
+    return transform

@@ -1,0 +1,136 @@
+"""Batch loader: threaded window assembly + double-buffered device prefetch.
+
+Replaces the reference's torch DataLoader workers + Lightning's implicit
+host->GPU copies (reference: hulc2/datasets/hulc2_sim_data_module.py:115-126).
+A small thread pool assembles fixed-shape numpy batches (np slicing releases
+the GIL); a prefetch queue keeps ``prefetch`` batches ahead, already
+``device_put`` with the mesh's batch sharding, so the TPU never waits on the
+host. Multi-host: each process samples only its shard of the index
+(``process_index``-strided), preserving the global sampling distribution.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, Optional
+
+import jax
+import numpy as np
+
+from hulc2_tpu.data.window_dataset import WindowDataset
+
+
+def collate(samples) -> Dict[str, np.ndarray]:
+    out = {}
+    for k in samples[0]:
+        out[k] = np.stack([s[k] for s in samples])
+    return out
+
+
+class BatchLoader:
+    """Epoch-based shuffled batch iterator over a WindowDataset."""
+
+    def __init__(
+        self,
+        dataset: WindowDataset,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = True,
+        num_threads: int = 4,
+        process_index: int = 0,
+        process_count: int = 1,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.num_threads = num_threads
+        self.process_index = process_index
+        self.process_count = process_count
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset) // self.process_count
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _epoch_order(self) -> np.ndarray:
+        n = len(self.dataset)
+        rng = np.random.default_rng((self.seed, self.epoch))
+        order = rng.permutation(n) if self.shuffle else np.arange(n)
+        return order[self.process_index :: self.process_count]
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        order = self._epoch_order()
+        self.epoch += 1
+        nb = len(order) // self.batch_size if self.drop_last else -(-len(order) // self.batch_size)
+
+        if self.num_threads <= 1:
+            for b in range(nb):
+                idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
+                yield collate([self.dataset[int(i)] for i in idxs])
+            return
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=self.num_threads) as pool:
+            futures = []
+            for b in range(nb):
+                idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
+                futures.append(pool.submit(lambda ix: collate([self.dataset[int(i)] for i in ix]), idxs))
+            for f in futures:
+                yield f.result()
+
+
+class DevicePrefetcher:
+    """Background thread that device_puts upcoming batches with a sharding.
+
+    Double buffering: while the TPU executes step N, batch N+1 (and N+2) is
+    already being transferred — the host->HBM copy overlaps compute.
+    """
+
+    def __init__(self, iterator, sharding=None, prefetch: int = 2):
+        self.it = iter(iterator)
+        self.sharding = sharding
+        self.q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        self._done = object()
+        self.thread = threading.Thread(target=self._worker, daemon=True)
+        self.thread.start()
+
+    def _put_device(self, batch):
+        if self.sharding is None:
+            return jax.device_put(batch)
+        import jax.sharding as shd
+
+        def put(x):
+            if hasattr(x, "ndim") and x.ndim >= 1:
+                spec = shd.PartitionSpec(*self.sharding.spec[:1], *([None] * (x.ndim - 1)))
+                return jax.device_put(x, shd.NamedSharding(self.sharding.mesh, spec))
+            return jax.device_put(x)
+
+        return jax.tree_util.tree_map(put, batch)
+
+    def _worker(self):
+        try:
+            for batch in self.it:
+                self.q.put(self._put_device(batch))
+        finally:
+            self.q.put(self._done)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self.q.get()
+        if item is self._done:
+            raise StopIteration
+        return item
+
+
+def zip_modalities(vis_loader, lang_loader) -> Iterator[Dict[str, Dict]]:
+    """Zip the two per-modality loaders per step the way Lightning zips the
+    dict of DataLoaders (reference: hulc2_sim_data_module.py:115-126) —
+    the epoch ends with the shorter loader."""
+    for vis, lang in zip(vis_loader, lang_loader):
+        yield {"vis": vis, "lang": lang}

@@ -1,0 +1,92 @@
+"""Window dataset: sample idx -> fixed-shape raw numpy window.
+
+Host-side counterpart of the reference's BaseDataset window sampling + padding
+(reference: hulc2/datasets/base_dataset.py:94-163), with transforms removed:
+the host emits raw uint8/float arrays padded to ``max_window_size`` (static
+shapes for XLA); all normalization/augmentation happens on device.
+
+Padding semantics match the reference exactly (base_dataset.py:121-147):
+observations repeat the last frame; relative actions zero-pad all but the
+gripper dim which repeats; absolute actions repeat.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+from hulc2_tpu.data.episode_index import EpisodeIndex
+
+
+def _pad_repeat(x: np.ndarray, pad: int) -> np.ndarray:
+    if pad == 0:
+        return x
+    return np.concatenate([x, np.repeat(x[-1:], pad, axis=0)], axis=0)
+
+
+def _pad_zeros(x: np.ndarray, pad: int) -> np.ndarray:
+    if pad == 0:
+        return x
+    return np.concatenate([x, np.zeros((pad, *x.shape[1:]), x.dtype)], axis=0)
+
+
+class WindowDataset:
+    """Produces padded window dicts of raw arrays.
+
+    Sample keys: per-camera rgb (S,H,W,3) uint8 / depth (S,H,W) f32,
+    ``robot_obs_raw`` (S,15) f32, optional ``scene_obs`` (S,24) f32,
+    ``actions`` (S,A) f32, ``seq_len`` int32, ``idx`` int64, and for language
+    datasets ``lang`` (E,) f32 + ``use_for_aux_lang_loss`` bool.
+    """
+
+    def __init__(
+        self,
+        index: EpisodeIndex,
+        store,  # NpzFrameStore | RamFrameStore
+        observation_space: dict,
+        pad: bool = True,
+        seed: int = 0,
+    ):
+        self.index = index
+        self.store = store
+        self.obs_space = observation_space
+        self.pad = pad
+        self.relative_actions = "rel_actions" in observation_space["actions"]
+        self.action_key = observation_space["actions"][0]
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        return len(self.index)
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        window_size = self.index.window_size(idx, self.rng)
+        start = int(self.index.episode_lookup[idx])
+        ep = self.store.load_window(start, window_size)
+        pad = (self.index.max_window_size - window_size) if self.pad else 0
+
+        out: Dict[str, np.ndarray] = {}
+        for cam in self.obs_space["rgb_obs"]:
+            out[cam] = _pad_repeat(np.ascontiguousarray(ep[cam]), pad)
+        for cam in self.obs_space["depth_obs"]:
+            out[cam] = _pad_repeat(np.asarray(ep[cam], np.float32), pad)
+        out["robot_obs_raw"] = _pad_repeat(np.asarray(ep["robot_obs"], np.float32), pad)
+        if "scene_obs" in ep:
+            out["scene_obs"] = _pad_repeat(np.asarray(ep["scene_obs"], np.float32), pad)
+
+        acts = np.asarray(ep[self.action_key], np.float32)
+        if self.relative_actions:
+            acts = np.concatenate(
+                [_pad_zeros(acts[:, :-1], pad), _pad_repeat(acts[:, -1:], pad)], axis=-1
+            )
+        else:
+            acts = _pad_repeat(acts, pad)
+        out["actions"] = acts
+        out["seq_len"] = np.int32(window_size)
+        out["idx"] = np.int64(idx)
+
+        if self.index.with_lang:
+            ann_row = int(self.index.lang_lookup[idx])
+            emb = self.index.lang_ann[ann_row]
+            out["lang"] = np.asarray(emb, np.float32)
+            out["use_for_aux_lang_loss"] = np.bool_(self.index.use_for_aux_lang_loss(idx))
+        return out
