@@ -72,15 +72,32 @@ class BatchLoader:
                 yield collate([self.dataset[int(i)] for i in idxs])
             return
 
+        from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=self.num_threads) as pool:
-            futures = []
-            for b in range(nb):
-                idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
-                futures.append(pool.submit(lambda ix: collate([self.dataset[int(i)] for i in ix]), idxs))
-            for f in futures:
-                yield f.result()
+        def make(ix):
+            return collate([self.dataset[int(i)] for i in ix])
+
+        # sliding window of outstanding futures: bounded memory, and an
+        # abandoned iterator (early stop) leaves at most `window` batches of
+        # work behind instead of the whole epoch
+        window = self.num_threads * 2
+        pool = ThreadPoolExecutor(max_workers=self.num_threads)
+        try:
+            pending: deque = deque()
+            for b in range(min(window, nb)):
+                pending.append(pool.submit(make, order[b * self.batch_size : (b + 1) * self.batch_size]))
+            b_next = min(window, nb)
+            while pending:
+                batch = pending.popleft().result()
+                if b_next < nb:
+                    pending.append(
+                        pool.submit(make, order[b_next * self.batch_size : (b_next + 1) * self.batch_size])
+                    )
+                    b_next += 1
+                yield batch
+        finally:
+            pool.shutdown(wait=False, cancel_futures=True)
 
 
 class DevicePrefetcher:
@@ -95,8 +112,24 @@ class DevicePrefetcher:
         self.sharding = sharding
         self.q: "queue.Queue" = queue.Queue(maxsize=prefetch)
         self._done = object()
+        self._stopped = False
         self.thread = threading.Thread(target=self._worker, daemon=True)
         self.thread.start()
+
+    def close(self):
+        """Stop the producer promptly (early epoch break): mark stopped and
+        drain the queue so the worker unblocks and sees the flag."""
+        self._stopped = True
+        if hasattr(self.it, "close"):
+            try:
+                self.it.close()
+            except Exception:
+                pass
+        while True:
+            try:
+                self.q.get_nowait()
+            except queue.Empty:
+                break
 
     def _put_device(self, batch):
         if self.sharding is None:
@@ -114,9 +147,17 @@ class DevicePrefetcher:
     def _worker(self):
         try:
             for batch in self.it:
+                if self._stopped:
+                    break
                 self.q.put(self._put_device(batch))
+        except BaseException as e:  # propagate to the consumer thread
+            if not self._stopped:
+                self.q.put(e)
         finally:
-            self.q.put(self._done)
+            try:
+                self.q.put_nowait(self._done)
+            except queue.Full:
+                pass
 
     def __iter__(self):
         return self
@@ -125,6 +166,8 @@ class DevicePrefetcher:
         item = self.q.get()
         if item is self._done:
             raise StopIteration
+        if isinstance(item, BaseException):
+            raise item
         return item
 
 

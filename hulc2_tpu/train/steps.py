@@ -1,0 +1,85 @@
+"""Jitted train / val step factories.
+
+The whole per-step pipeline — uint8 augmentation, both modality encoders,
+plan nets, decoder, losses, backward, Adam update, gradient psum over the
+``dp`` mesh axis — is ONE jit-compiled XLA program. The reference splits this
+across DataLoader workers (CPU transforms), Lightning hooks, and NCCL
+allreduce (reference: hulc2/training.py:72-82, SURVEY.md §3.1 hot loop);
+here XLA schedules and fuses it end to end, and collectives are inserted from
+sharding annotations.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from hulc2_tpu.core import prng
+from hulc2_tpu.models.hulc2 import Hulc2
+from hulc2_tpu.train.state import TrainState
+
+
+def make_train_step(
+    model: Hulc2,
+    tx,
+    transforms: Dict[str, Callable],
+    clip_loss_beta: float = 3.0,
+    donate: bool = True,
+) -> Callable:
+    """Returns jitted fn(state, raw_batch, root_key, kl_beta) -> (state, metrics).
+
+    ``transforms`` maps modality name -> device transform fn(rng, raw)->batch.
+    """
+
+    def step_fn(state: TrainState, raw_batch: Dict, root_key: jax.Array, kl_beta: jnp.ndarray):
+        key = jax.random.fold_in(root_key, state.step)
+        batch = {
+            mod: transforms[mod](prng.stream(key, f"aug_{mod}"), raw_batch[mod])
+            for mod in raw_batch
+        }
+        rngs = {"sample": prng.stream(key, "sample"), "dropout": prng.stream(key, "dropout")}
+
+        def loss_fn(params):
+            metrics = model.apply(params, batch, kl_beta, False, rngs=rngs)
+            loss = metrics["total_loss"]
+            if "lang_clip_loss" in metrics:
+                loss = loss + clip_loss_beta * metrics["lang_clip_loss"]
+            metrics["loss"] = loss
+            return loss, metrics
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree_util.tree_map(lambda p, u: p + u, state.params, updates)
+        metrics["grad_norm"] = jnp.sqrt(
+            sum(jnp.sum(jnp.square(g)) for g in jax.tree_util.tree_leaves(grads))
+        )
+        return TrainState(new_params, new_opt, state.step + 1), metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_val_step(model: Hulc2, transforms: Dict[str, Callable]) -> Callable:
+    def step_fn(params, raw_batch: Dict, root_key: jax.Array, batch_idx: jnp.ndarray):
+        key = jax.random.fold_in(root_key, batch_idx)
+        batch = {mod: transforms[mod](prng.stream(key, mod), raw_batch[mod]) for mod in raw_batch}
+        return model.apply(
+            params, batch, rngs={"sample": prng.stream(key, "sample")}, method=Hulc2.val_forward
+        )
+
+    return jax.jit(step_fn)
+
+
+def make_policy_step(model: Hulc2) -> Callable:
+    """Jitted rollout step: fn(params, obs, goal, carry, key) -> (action, carry)."""
+
+    @jax.jit
+    def step_fn(params, rgb_obs, depth_obs, robot_obs, robot_obs_raw, goal, carry, key):
+        return model.apply(
+            params, rgb_obs, depth_obs, robot_obs, robot_obs_raw, goal, carry,
+            rngs={"sample": key},
+            method=Hulc2.policy_step,
+        )
+
+    return step_fn

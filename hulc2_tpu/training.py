@@ -1,0 +1,69 @@
+"""Policy training entry point.
+
+Public-entry equivalent of the reference's ``python hulc2/training.py``
+(reference: hulc2/training.py:31-82) with the same ergonomics:
+
+    python -m hulc2_tpu.training \
+        datamodule.root_data_dir=/path/to/calvin/task_D_D \
+        model/distribution=continuous loss.kl_beta=0.05
+
+Composes ``cfg_low_level`` (or ``--config-name cfg_gcbc``), sets up the
+datamodule, builds the model and runs the Trainer with auto-resume.
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+import time
+from pathlib import Path
+
+logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(levelname)s %(message)s")
+logger = logging.getLogger(__name__)
+
+
+def make_run_dir(log_dir: str, overrides) -> Path:
+    """runs/<date>/<time>[_overrides] (reference: conf/cfg_low_level.yaml:20-37)."""
+    stamp = time.strftime("%Y-%m-%d/%H-%M-%S")
+    tag = "_".join(o.replace("/", ".") for o in overrides)[:80]
+    return Path(log_dir) / stamp / (tag or "run")
+
+
+def train(config_name: str = "cfg_low_level", overrides=(), max_epochs=None, max_steps=None,
+          synthetic: bool = False, run_dir=None):
+    import hulc2_tpu.configs  # noqa: F401
+    from hulc2_tpu.core import config as cfg_lib
+    from hulc2_tpu.data.datamodule import Hulc2DataModule, RandomDataModule
+    from hulc2_tpu.parallel import mesh as mesh_lib
+    from hulc2_tpu.train.trainer import Trainer
+
+    mesh_lib.initialize_distributed()
+    cfg = cfg_lib.compose(config_name, list(overrides))
+    run_dir = Path(run_dir) if run_dir else make_run_dir(cfg.get("log_dir", "runs"), overrides)
+
+    dm_cls = RandomDataModule if synthetic else Hulc2DataModule
+    dm = dm_cls(
+        cfg["datamodule"],
+        seed=cfg.get("seed", 42),
+        process_index=mesh_lib.process_index(),
+        process_count=mesh_lib.process_count(),
+    )
+    dm.setup()
+    trainer = Trainer(cfg, dm, run_dir)
+    return trainer.fit(max_epochs=max_epochs, max_steps=max_steps)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--config-name", default="cfg_low_level")
+    parser.add_argument("--max-epochs", type=int, default=None)
+    parser.add_argument("--max-steps", type=int, default=None)
+    parser.add_argument("--run-dir", default=None)
+    parser.add_argument("--synthetic", action="store_true", help="random-tensor datamodule (smoke test)")
+    parser.add_argument("overrides", nargs="*", help="key=value / group=option overrides")
+    args = parser.parse_args(argv)
+    train(args.config_name, args.overrides, args.max_epochs, args.max_steps, args.synthetic, args.run_dir)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,107 @@
+"""Training loop tests: synthetic smoke run, resume, multi-device sharding."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import hulc2_tpu.configs  # noqa: F401
+from hulc2_tpu.core import config as cfg_lib
+from hulc2_tpu.train import optim
+from hulc2_tpu.train.kl_schedule import make_kl_schedule
+
+
+SMALL_OVERRIDES = [
+    # tiny model for CPU test speed
+    "model.plan_proposal.hidden_size=64",
+    "model.plan_recognition.encoder_hidden_size=64",
+    "model.plan_recognition.fc_hidden_size=64",
+    "model.action_decoder.hidden_size=64",
+    "model.visual_goal.hidden_size=64",
+    "model.language_goal.hidden_size=64",
+    "model.compute_dtype=float32",
+    "datamodule.max_window_size=8",
+    "datamodule.min_window_size=8",
+    "datamodule.batch_size_vis=8",  # divisible by the 8-device test mesh
+    "datamodule.batch_size_lang=8",
+    "trainer.log_every_n_steps=1",
+]
+
+
+class TestKLSchedule:
+    def test_constant(self):
+        s = make_kl_schedule({"kind": "constant", "kl_beta": 0.01})
+        assert s(0) == s(99) == 0.01
+
+    def test_linear(self):
+        s = make_kl_schedule({"kind": "linear", "kl_beta": 0.1, "start_epoch": 10, "end_epoch": 20})
+        assert s(0) == 0.0
+        assert s(15) == pytest.approx(0.05)
+        assert s(25) == 0.1
+
+    def test_sigmoid_monotone(self):
+        s = make_kl_schedule({"kind": "sigmoid", "kl_beta": 0.1, "start_epoch": 0, "end_epoch": 20})
+        vals = [s(e) for e in range(21)]
+        assert all(b >= a for a, b in zip(vals, vals[1:]))
+
+
+class TestOptim:
+    def test_warmup_resolution(self):
+        total, warm = optim.compute_warmup(-1, 0.1, 1000)
+        assert total == 1000 and warm == 100
+
+    def test_make_optimizer(self):
+        tx = optim.make_optimizer({"kind": "adam", "lr": 1e-3}, {"kind": "constant"})
+        params = {"w": jnp.ones((4, 4))}
+        s = tx.init(params)
+        grads = {"w": jnp.ones((4, 4))}
+        updates, _ = tx.update(grads, s, params)
+        assert np.all(np.isfinite(np.asarray(updates["w"])))
+
+
+@pytest.mark.slow
+class TestTrainerSmoke:
+    def test_synthetic_train_and_resume(self, tmp_path):
+        from hulc2_tpu.training import train
+
+        run_dir = tmp_path / "run"
+        state = train(
+            "cfg_low_level", SMALL_OVERRIDES, max_epochs=1, max_steps=2, synthetic=True,
+            run_dir=run_dir,
+        )
+        assert int(state.step) == 2
+        assert (run_dir / "config.json").exists()
+        assert (run_dir / "metrics.jsonl").exists()
+        # resume continues from the saved checkpoint
+        state2 = train(
+            "cfg_low_level", SMALL_OVERRIDES, max_epochs=2, max_steps=2, synthetic=True,
+            run_dir=run_dir,
+        )
+        assert int(state2.step) >= 2
+
+    def test_train_loss_decreases_overfit(self, tmp_path):
+        """Overfit two fixed synthetic batches — loss must drop (end-to-end
+        learning signal through every component)."""
+        import hulc2_tpu.configs  # noqa: F401
+        from hulc2_tpu.data.datamodule import RandomDataModule
+        from hulc2_tpu.train.trainer import Trainer
+
+        cfg = cfg_lib.compose("cfg_low_level", SMALL_OVERRIDES + ["training.lr=0.001"])
+        dm = RandomDataModule(cfg["datamodule"], n_samples=8)
+        dm.setup()
+        trainer = Trainer(cfg, dm, tmp_path / "overfit")
+
+        steps = dm.steps_per_epoch()
+        state, tx = trainer._init_state(steps)
+        from hulc2_tpu.train.steps import make_train_step
+
+        tfs = trainer._build_transforms(train=True)
+        train_step = make_train_step(trainer.model, tx, tfs, 3.0, donate=False)
+        batch = next(iter(dm.train_iter()))
+        batch = jax.tree_util.tree_map(jnp.asarray, batch)
+        key = jax.random.PRNGKey(0)
+        losses = []
+        for _ in range(12):
+            state, metrics = train_step(state, batch, key, jnp.asarray(0.01))
+            losses.append(float(metrics["loss"]))
+        assert losses[-1] < losses[0], losses
