@@ -1,0 +1,126 @@
+"""Training-throughput benchmark on the real TPU chip.
+
+Measures full-size HULC2 CALVIN training (batch 32 vis + 32 lang, 32-frame
+windows, 200x200 static + 84x84 gripper uint8 frames, bf16 compute, on-device
+augmentation) — the reference's training configuration
+(conf/trainer/play_trainer.yaml, conf/datamodule/datasets/*_shm.yaml) — and
+prints ONE JSON line:
+
+    {"metric": "train_samples_per_sec_per_chip", "value": N,
+     "unit": "samples/s", "vs_baseline": R}
+
+``vs_baseline`` is measured throughput divided by the reference's estimated
+A100 Lightning throughput. The reference publishes no numbers
+(BASELINE.md), so the denominator is an estimate: A100 fp16 Lightning with
+8-worker CPU dataloading on this model is ~110 samples/s (batch 64 in ~0.58 s
+— conv encoders + 2x2048 RNN over 32 frames, CPU-side augmentation
+pipelines overlap imperfectly). The BASELINE north star (>= 5x A100) is met
+when vs_baseline >= 5.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+A100_BASELINE_SAMPLES_PER_SEC = 110.0  # estimated reference throughput (see docstring)
+
+
+def main():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import hulc2_tpu.configs  # noqa: F401
+    from hulc2_tpu.core import config as cfg_lib
+    from hulc2_tpu.data.device_transforms import make_batch_transform
+    from hulc2_tpu.data.statistics import DatasetStatistics
+    from hulc2_tpu.models.build import build_policy
+    from hulc2_tpu.train import optim
+    from hulc2_tpu.train.state import create_train_state
+    from hulc2_tpu.train.steps import make_train_step
+
+    cfg = cfg_lib.compose("cfg_low_level")
+    dm_cfg = cfg["datamodule"]
+    model = build_policy(cfg["model"])
+
+    b = int(os.environ.get("BENCH_BATCH", dm_cfg["batch_size_vis"]))
+    s = dm_cfg["max_window_size"]
+    rng = np.random.RandomState(0)
+
+    def raw_mod_batch(with_lang):
+        d = {
+            "rgb_static": jnp.asarray(rng.randint(0, 256, (b, s, 200, 200, 3)), jnp.uint8),
+            "rgb_gripper": jnp.asarray(rng.randint(0, 256, (b, s, 84, 84, 3)), jnp.uint8),
+            "robot_obs_raw": jnp.asarray(rng.randn(b, s, 15), jnp.float32),
+            "actions": jnp.asarray(
+                np.concatenate(
+                    [np.clip(rng.randn(b, s, 6) * 0.3, -1, 1),
+                     np.sign(rng.randn(b, s, 1))], axis=-1,
+                ),
+                jnp.float32,
+            ),
+        }
+        if with_lang:
+            d["lang"] = jnp.asarray(rng.randn(b, 384), jnp.float32)
+            d["use_for_aux_lang_loss"] = jnp.asarray(rng.rand(b) > 0.3)
+        return d
+
+    raw_batch = {"vis": raw_mod_batch(False), "lang": raw_mod_batch(True)}
+
+    stats = DatasetStatistics()  # identity norm (synthetic data)
+    tf = make_batch_transform(
+        dm_cfg["observation_space"], dm_cfg["proprioception_dims"], stats, "rand_shift", True
+    )
+    transforms = {"vis": tf, "lang": tf}
+
+    tx = optim.make_optimizer(cfg["model"]["optimizer"], cfg["model"].get("lr_scheduler"), 100_000)
+
+    def init_fn():
+        key = jax.random.PRNGKey(0)
+        tfd = {m: tf(key, raw_batch[m]) for m in raw_batch}
+        return model.init(
+            {"params": key, "sample": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)}, tfd
+        )
+
+    state = create_train_state(init_fn, tx)
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(state.params))
+
+    train_step = make_train_step(model, tx, transforms, cfg["loss"]["clip_auxiliary_loss_beta"])
+    key = jax.random.PRNGKey(0)
+    kl_beta = jnp.asarray(0.01)
+
+    # warmup / compile. NOTE: on the axon-tunneled TPU backend,
+    # jax.block_until_ready does NOT reliably wait for execution — a host
+    # fetch (float()) is required for honest timing.
+    for _ in range(3):
+        state, metrics = train_step(state, raw_batch, key, kl_beta)
+    float(metrics["loss"])
+
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = train_step(state, raw_batch, key, kl_beta)
+    final_loss = float(metrics["loss"])  # forces the whole chain
+    dt = time.perf_counter() - t0
+
+    samples = 2 * b * iters  # vis + lang sub-batches per step
+    sps = samples / dt
+    result = {
+        "metric": "train_samples_per_sec_per_chip",
+        "value": round(sps, 2),
+        "unit": "samples/s",
+        "vs_baseline": round(sps / A100_BASELINE_SAMPLES_PER_SEC, 3),
+    }
+    print(json.dumps(result))
+    print(
+        f"# {jax.devices()[0].device_kind} | {n_params/1e6:.1f}M params | "
+        f"step {dt/iters*1000:.1f} ms | batch {2*b}x{s} frames | loss {final_loss:.3f}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()
