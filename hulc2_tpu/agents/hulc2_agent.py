@@ -1,0 +1,134 @@
+"""Hierarchical HULC2 agent: affordance-guided approach + jitted policy.
+
+Counterpart of the reference PlayLMPAgent / AffHULCAgent
+(reference: hulc2/agents/lmp_agent.py:26-288, real_world_agent.py:19):
+
+- ``reset(caption)``: optionally query the visuo-lingual affordance model for
+  a target pixel + depth, deproject to 3D, and PD-drive near it when the
+  predicted pixel is > 15 px from the TCP (lmp_agent.py:195-235); then reset
+  the policy carry.
+- ``step(obs, goal)``: transform raw env obs on device and run ONE jitted
+  policy step (replan cadence handled inside the jit via lax.cond) — the
+  reference's tensor round-trips (lmp_agent.py:253-288) collapse into a
+  single dispatch. Works for a batch of N lockstep envs as-is.
+
+The agent is model-state-free on the Python side: policy state lives in a
+device-resident PolicyCarry.
+"""
+from __future__ import annotations
+
+import logging
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hulc2_tpu.agents.base_agent import BaseAgent
+from hulc2_tpu.data.device_transforms import make_batch_transform
+from hulc2_tpu.data.statistics import DatasetStatistics
+from hulc2_tpu.models.hulc2 import Hulc2, PolicyCarry
+from hulc2_tpu.train.steps import make_policy_step
+
+logger = logging.getLogger(__name__)
+
+MOVE_THRESHOLD_PX = 15  # approach only when prediction is far (lmp_agent.py:222)
+
+
+class Hulc2Agent(BaseAgent):
+    def __init__(
+        self,
+        env,
+        model: Hulc2,
+        params,
+        dm_cfg: dict,
+        stats: Optional[DatasetStatistics] = None,
+        affordance=None,  # optional affordance detector with .predict()
+        seed: int = 0,
+        n_envs: int = 1,
+    ):
+        super().__init__(env)
+        self.model = model
+        self.params = params
+        self.affordance = affordance
+        self.n_envs = n_envs
+        self._policy_step = make_policy_step(model)
+        self._transform = make_batch_transform(
+            dm_cfg["observation_space"],
+            dm_cfg["proprioception_dims"],
+            stats or DatasetStatistics(),
+            dm_cfg.get("transforms", "rand_shift"),
+            train=False,
+        )
+        self._key = jax.random.PRNGKey(seed)
+        self._step_idx = 0
+        self.carry: PolicyCarry = model.init_carry(n_envs)
+
+    # ------------------------------------------------------------------ #
+    def reset(self, caption: Optional[str] = None) -> None:
+        """New subtask: optionally approach the affordance target, then clear
+        the policy carry (plan + decoder hidden state)."""
+        if caption is not None and self.affordance is not None:
+            target_pos, pred_px = self.get_aff_pred(caption)
+            tcp_pos, _, _ = self._robot_state()
+            tcp_px = self.env.cameras[0].project(np.array([*tcp_pos, 1.0]))
+            if np.linalg.norm(np.asarray(pred_px) - np.asarray(tcp_px)) > MOVE_THRESHOLD_PX:
+                self.move_to(target_pos + self.offset, gripper_action=1)
+        self.carry = self.model.init_carry(self.n_envs)
+
+    def get_aff_pred(self, caption: str):
+        """Affordance target: predicted pixel + depth deprojected to 3D
+        (reference: lmp_agent.py:145-194)."""
+        obs = self.env.get_obs()
+        pred = self.affordance.predict(obs["rgb_obs"]["rgb_static"], caption)
+        pixel = pred["pixel"]
+        if "depth" in pred:
+            target = self.env.cameras[0].deproject_single_depth(pixel, pred["depth"])
+        else:
+            depth = obs["depth_obs"]["depth_static"]
+            target = self.env.cameras[0].deproject(pixel, depth)
+        return np.asarray(target), np.asarray(pixel)
+
+    # ------------------------------------------------------------------ #
+    def _obs_to_device(self, obs: Dict) -> Dict:
+        """Raw env obs (single env or stacked batch) -> (B, 1, ...) arrays."""
+
+        def batch(x):
+            a = np.asarray(x)
+            if self.n_envs == 1:
+                a = a[None]
+            return jnp.asarray(a[:, None])  # (B, 1, ...)
+
+        raw = {cam: batch(v) for cam, v in obs["rgb_obs"].items()}
+        raw.update({cam: batch(v) for cam, v in obs.get("depth_obs", {}).items()})
+        raw["robot_obs_raw"] = batch(obs["robot_obs"]).astype(jnp.float32)
+        raw["actions"] = jnp.zeros((self.n_envs, 1, 7), jnp.float32)  # unused by transform consumers
+        return raw
+
+    def step(self, obs: Dict, goal: Dict) -> np.ndarray:
+        """One policy action for the current observation(s). ``goal`` is
+        {"lang": embedding (E,) or (B, E)} or a visual goal obs dict."""
+        raw = self._obs_to_device(obs)
+        key = jax.random.fold_in(self._key, self._step_idx)
+        self._step_idx += 1
+        tfd = self._transform(key, raw)
+        if "lang" in goal:
+            lang = jnp.asarray(np.asarray(goal["lang"], np.float32))
+            if lang.ndim == 1:
+                lang = jnp.broadcast_to(lang[None], (self.n_envs, lang.shape[-1]))
+            dev_goal = {"lang": lang}
+        else:
+            dev_goal = goal
+        action, self.carry = self._policy_step(
+            self.params,
+            tfd["rgb_obs"],
+            tfd["depth_obs"],
+            tfd["robot_obs"],
+            tfd["robot_obs_raw"],
+            dev_goal,
+            self.carry,
+            key,
+        )
+        act = np.array(action)  # host copy (writable)
+        act[..., -1] = np.where(act[..., -1] > 0, 1.0, -1.0)  # binarize gripper
+        return act[0] if self.n_envs == 1 else act

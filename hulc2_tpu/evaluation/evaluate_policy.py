@@ -1,0 +1,128 @@
+"""CALVIN 1000-chain benchmark CLI.
+
+Public-entry equivalent of the reference's
+``python hulc2/evaluation/evaluate_policy.py`` (reference:
+hulc2/evaluation/evaluate_policy.py:14-94): evaluates one or all checkpoints
+of a training run on the fixed 1000-chain x 5-subtask protocol (ep_len=360)
+and writes results.json.
+
+    python -m hulc2_tpu.evaluation.evaluate_policy --train-dir runs/... \
+        --dataset-path /data/calvin/task_D_D [--checkpoint N] [--fake-env]
+
+``--fake-env`` runs the full harness against the symbolic FakeCalvinEnv
+(policy actions are executed but success comes from symbolic task execution
+with a configurable rate) — a plumbing smoke mode, not a benchmark.
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+from hulc2_tpu.evaluation import harness
+from hulc2_tpu.evaluation.sequences import get_sequences
+
+logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s")
+logger = logging.getLogger(__name__)
+
+
+def load_lang_embeddings(dataset_path: Path, lang_folder: str):
+    """Validation-annotation sentence -> embedding lookup
+    (reference: evaluation/utils.py:88-96 LangEmbeddings)."""
+    f = Path(dataset_path) / "validation" / lang_folder / "embeddings.npy"
+    data = np.load(f, allow_pickle=True).item()
+    return {v["ann"][0]: np.asarray(v["emb"]).squeeze() for v in data.values()}, {
+        k: v["ann"][0] for k, v in data.items()
+    }
+
+
+def make_policy_rollout_fn(agent, oracle, task_to_annotation, lang_embeddings, ep_len: int):
+    """rollout_fn(env, subtask) -> bool: reset agent for the instruction and
+    run up to ep_len policy steps, checking the oracle after every step
+    (reference: manager_aff_lmp.py:26-79)."""
+
+    def rollout_fn(env, subtask: str) -> bool:
+        caption = task_to_annotation[subtask]
+        agent.reset(caption)
+        start_info = env.get_info()
+        goal = {"lang": lang_embeddings[caption]}
+        obs = env.get_obs()
+        for _ in range(ep_len):
+            action = agent.step(obs, goal)
+            obs, _, _, _ = env.step(action)
+            if subtask in oracle.get_task_info_for_set(start_info, env.get_info(), [subtask]):
+                return True
+        return False
+
+    return rollout_fn
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--train-dir", required=True, help="training run dir (config.json + saved_models)")
+    p.add_argument("--dataset-path", default=None, help="CALVIN dataset root (for env + lang embeddings)")
+    p.add_argument("--checkpoint", type=int, default=None, help="specific step (default: newest)")
+    p.add_argument("--all-checkpoints", action="store_true")
+    p.add_argument("--ep-len", type=int, default=harness.EP_LEN)
+    p.add_argument("--num-sequences", type=int, default=harness.NUM_SEQUENCES)
+    p.add_argument("--log-dir", default=None)
+    p.add_argument("--fake-env", action="store_true", help="symbolic smoke mode (no simulator)")
+    p.add_argument("--lang-folder", default="lang_annotations")
+    args = p.parse_args(argv)
+
+    from hulc2_tpu.envs.task_oracle import SceneObsTaskOracle
+    from hulc2_tpu.evaluation.loading import load_policy
+
+    t0 = time.time()
+    model, params, cfg = load_policy(args.train_dir, args.checkpoint)
+    log_dir = Path(args.log_dir or (Path(args.train_dir) / "evaluation"))
+    sequences = get_sequences(args.num_sequences)
+    oracle = SceneObsTaskOracle()
+
+    if args.fake_env:
+        from hulc2_tpu.envs.fake_env import FakeCalvinEnv
+        from hulc2_tpu.agents.hulc2_agent import Hulc2Agent
+        from hulc2_tpu.evaluation.tasks import TASK_NAMES
+
+        env = FakeCalvinEnv()
+        agent = Hulc2Agent(env, model, params, cfg["datamodule"])
+        rng = np.random.default_rng(0)
+        lang_embeddings = {t: rng.standard_normal(384).astype(np.float32) for t in TASK_NAMES}
+
+        def rollout_fn(env, subtask):
+            agent.reset()
+            goal = {"lang": lang_embeddings[subtask]}
+            obs = env.get_obs()
+            start = env.get_info()
+            for _ in range(min(args.ep_len, 12)):  # short horizon in smoke mode
+                action = agent.step(obs, goal)
+                obs, _, _, _ = env.step(action)
+            env.perform(subtask)  # symbolic completion
+            return subtask in oracle.get_task_info_for_set(start, env.get_info(), [subtask])
+
+    else:
+        from hulc2_tpu.agents.hulc2_agent import Hulc2Agent
+        from hulc2_tpu.envs.calvin_wrapper import CalvinEnvWrapper, make_calvin_env
+        from hulc2_tpu.data.statistics import load_statistics
+
+        if args.dataset_path is None:
+            p.error("--dataset-path is required without --fake-env")
+        env = CalvinEnvWrapper(make_calvin_env(args.dataset_path, show_gui=False))
+        stats = load_statistics(Path(args.dataset_path) / "training")
+        lang_embeddings, task_to_ann = load_lang_embeddings(args.dataset_path, args.lang_folder)
+        agent = Hulc2Agent(env, model, params, cfg["datamodule"], stats)
+        rollout_fn = make_policy_rollout_fn(agent, oracle, task_to_ann, lang_embeddings, args.ep_len)
+
+    results = harness.evaluate_policy(rollout_fn, env, sequences=sequences)
+    step = args.checkpoint if args.checkpoint is not None else "latest"
+    merged = harness.print_and_save({str(step): results}, log_dir, sequences=sequences)
+    logger.info("evaluation wall-clock: %.1f s", time.time() - t0)
+    return merged
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,93 @@
+"""Checkpoint/model loading for evaluation.
+
+Counterpart of the reference's PolicyManager model loading
+(reference: hulc2/evaluation/manager_aff_lmp.py:81-155, utils/utils.py:184-231):
+a trained run dir's ``config.json`` is the serialized model spec; the newest
+(or a named) orbax step under ``saved_models/`` provides the parameters.
+Also supports loading converted PyTorch-Lightning checkpoints (.ckpt) through
+``hulc2_tpu.utils.convert``.
+"""
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hulc2_tpu.core.checkpoint import CheckpointManager, load_run_config
+from hulc2_tpu.models.build import build_policy
+from hulc2_tpu.models.hulc2 import Hulc2
+
+logger = logging.getLogger(__name__)
+
+# post-transform camera resolutions (rand_shift preset)
+_CAM_HW = {"rgb_static": 200, "rgb_gripper": 84, "rgb_tactile": 64,
+           "depth_static": 200, "depth_gripper": 84}
+
+
+def dummy_model_batch(cfg: dict, b: int = 1, s: int = 2):
+    """Shape-correct transformed batch for parameter-shape initialization."""
+    dm = cfg["datamodule"]
+    obs = dm["observation_space"]
+    proprio_dim = sum(hi - lo for lo, hi in dm["proprioception_dims"]["keep_indices"])
+    batch = {
+        "rgb_obs": {
+            cam: jnp.zeros((b, s, _CAM_HW[cam], _CAM_HW[cam], 3), jnp.float32)
+            for cam in obs["rgb_obs"]
+        },
+        "depth_obs": {
+            cam: jnp.zeros((b, s, _CAM_HW[cam], _CAM_HW[cam]), jnp.float32)
+            for cam in obs["depth_obs"]
+        },
+        "robot_obs": jnp.zeros((b, s, proprio_dim), jnp.float32),
+        "actions": jnp.zeros((b, s, dm["action_space"]), jnp.float32),
+        "robot_obs_raw": jnp.zeros((b, s, 15), jnp.float32),
+    }
+    lang = {
+        **jax.tree_util.tree_map(lambda x: x, batch),
+        "lang": jnp.zeros((b, cfg["model"].get("language_goal", {}).get("in_features", 384)), jnp.float32),
+        "use_for_aux_lang_loss": jnp.zeros((b,), bool),
+    }
+    return {"vis": batch, "lang": lang}
+
+
+def init_params(model: Hulc2, cfg: dict):
+    rngs = {
+        "params": jax.random.PRNGKey(0),
+        "sample": jax.random.PRNGKey(1),
+        "dropout": jax.random.PRNGKey(2),
+    }
+    return model.init(rngs, dummy_model_batch(cfg))
+
+
+def load_policy(run_dir, step: Optional[int] = None) -> Tuple[Hulc2, dict, dict]:
+    """(model, params, cfg) from a training run directory."""
+    run_dir = Path(run_dir)
+    cfg = load_run_config(run_dir)
+    model = build_policy(cfg["model"])
+    template = init_params(model, cfg)
+    ckpt = CheckpointManager(run_dir)
+    from hulc2_tpu.train.state import TrainState
+    from hulc2_tpu.train import optim
+
+    tx = optim.make_optimizer(cfg["model"]["optimizer"], None, 1)
+    state_template = TrainState(template, tx.init(template), jnp.zeros((), jnp.int32))
+    restored = ckpt.restore(state_template, step)
+    if restored is None:
+        raise FileNotFoundError(f"no checkpoints under {run_dir}/saved_models")
+    logger.info("loaded step %d from %s", int(restored.step), run_dir)
+    return model, restored.params, cfg
+
+
+def load_policy_from_torch_ckpt(ckpt_path, cfg: dict) -> Tuple[Hulc2, dict]:
+    """(model, params) from a reference PyTorch-Lightning .ckpt
+    (the fidelity path, BASELINE.md)."""
+    from hulc2_tpu.utils import convert
+
+    model = build_policy(cfg["model"])
+    sd, _ = convert.load_lightning_checkpoint(ckpt_path)
+    params = convert.convert_hulc2_checkpoint(sd, cfg["model"])
+    return model, jax.tree_util.tree_map(jnp.asarray, params)

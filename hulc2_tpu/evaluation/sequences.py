@@ -87,7 +87,11 @@ def get_sequences(num_sequences: int = 1000, num_workers: int = None) -> List[Tu
     per_state = [len(part) for part in np.array_split(range(num_sequences), len(states))]
 
     with temp_seed(0):
-        with ProcessPoolExecutor(max_workers=num_workers) as pool:
+        # spawn (not fork): JAX is usually initialized by now and fork() of a
+        # multithreaded process can deadlock
+        import multiprocessing as mp
+
+        with ProcessPoolExecutor(max_workers=num_workers, mp_context=mp.get_context("spawn")) as pool:
             chunks = list(pool.map(_chains_for_state, zip(states, per_state, range(len(states)))))
         flat = [tuple(chain.tolist()) for chunk in chunks for chain in chunk]
         results = list(zip(np.repeat(states, per_state), flat))
