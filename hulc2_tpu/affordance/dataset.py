@@ -1,0 +1,113 @@
+"""Affordance labeled dataset: (frame, target pixel, depth, instruction).
+
+Format-compatible with the reference's PixeLabelDataLang on-disk layout
+(reference: hulc2/affordance/datasets/pixel_label.py:18-160):
+
+    <data_dir>/episodes_split.json       {"training": {ep: {"static_cam": [...]}},
+                                          "validation": {...},
+                                          "norm_values": {"depth": {"static_cam":
+                                              {"mean": m, "std": s}}}}
+    <data_dir>/<ep>/data/<cam>_cam/<file>.npz
+        frame (H, W, 3) uint8, centers (N, 3) [label, row, col],
+        depth float, lang_ann str, (robot_obs ...)
+
+Host side only reads/resizes bookkeeping; pixel-label jitter (the RandomShift
+augmentation that moves image AND label together, pixel_label.py transforms)
+and normalization run on device in the training step.
+"""
+from __future__ import annotations
+
+import json
+import logging
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from hulc2_tpu.affordance.depth_heads import DepthNorm
+
+logger = logging.getLogger(__name__)
+
+
+def resize_pixel(pixel, old_shape, new_shape) -> np.ndarray:
+    """Map a (row, col) label between resolutions
+    (reference: hulc2/utils/img_utils.py:200)."""
+    c = np.asarray(new_shape, np.float64) / np.asarray(old_shape, np.float64)
+    return (np.asarray(pixel) * c).astype(np.int64)
+
+
+class AffordanceDataset:
+    def __init__(
+        self,
+        data_dir,
+        split: str = "training",
+        cam: str = "static",
+        img_resize: int = 224,
+        data_percent: float = 1.0,
+        episodes_file: str = "episodes_split.json",
+        lang_embedder=None,  # optional callable str -> (E,) embedding
+    ):
+        self.data_dir = Path(data_dir)
+        self.split = split
+        self.cam = cam
+        self.img_resize = img_resize
+        self.lang_embedder = lang_embedder
+        info = json.loads((self.data_dir / episodes_file).read_text())
+        self.depth_norm = DepthNorm(
+            float(info["norm_values"]["depth"][f"{cam}_cam"]["mean"]),
+            float(info["norm_values"]["depth"][f"{cam}_cam"]["std"]),
+        )
+        files: List[str] = []
+        for ep, content in info[split].items():
+            files.extend(f"{ep}/{f}" for f in content[f"{cam}_cam"])
+        if split == "training" and data_percent < 1.0:
+            files = files[: max(1, int(len(files) * data_percent))]
+        self.files = files
+        logger.info("%s: %d affordance frames", split, len(files))
+
+    def __len__(self):
+        return len(self.files)
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        ep, filename = self.files[idx].rsplit("/", 1)
+        path = self.data_dir / ep / "data" / f"{self.cam}_cam" / f"{filename}.npz"
+        with np.load(path, allow_pickle=True) as z:
+            frame = z["frame"]  # (H, W, 3) uint8
+            centers = z["centers"]  # (N, 3): label, row, col
+            depth = float(z["depth"]) if "depth" in z.files else 0.0
+            lang_ann = str(z["lang_ann"]) if "lang_ann" in z.files else ""
+        px = resize_pixel(centers[0, 1:], frame.shape[:2], (self.img_resize, self.img_resize))
+        out = {
+            "frame": frame,  # raw uint8, resized on device
+            "px": px.astype(np.int32),
+            "depth": np.float32(depth),
+            "normalized_depth": np.float32(self.depth_norm.normalize(depth)),
+            "idx": np.int64(idx),
+        }
+        if self.lang_embedder is not None:
+            out["lang"] = np.asarray(self.lang_embedder(lang_ann), np.float32)
+        else:
+            out["lang_ann"] = lang_ann
+        return out
+
+
+def jitter_label_and_image(rng, imgs, px, pad: int):
+    """RandomShift that moves the image and its pixel label coherently
+    (reference: affordance/datasets/transforms.py DistanceTransform /
+    RandomShift pair). imgs (B, H, W, C) float, px (B, 2). On device."""
+    import jax
+    import jax.numpy as jnp
+
+    from hulc2_tpu.ops.preprocess import random_shift
+
+    n, h, w, _ = imgs.shape
+    offsets = jax.random.randint(rng, (n, 2), 0, 2 * pad + 1)
+    # reproduce random_shift's crop with the same offsets
+    padded = jnp.pad(imgs, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="edge")
+
+    def crop(img, off):
+        return jax.lax.dynamic_slice(img, (off[0], off[1], 0), (h, w, img.shape[-1]))
+
+    shifted = jax.vmap(crop)(padded, offsets)
+    new_px = jnp.clip(px + pad - offsets, 0, jnp.asarray([h - 1, w - 1]))
+    return shifted, new_px

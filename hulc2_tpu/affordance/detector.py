@@ -1,0 +1,162 @@
+"""Pixel affordance + depth detector: the high-level model of the hierarchy.
+
+TPU-native counterpart of the reference PixelAffLangDetector +
+AffDepthLangFusionPixel (reference: hulc2/affordance/pixel_aff_lang_detector.py:17,
+hulc2/affordance/models/lang_fusion/aff_lang_depth_pixel.py:10):
+
+- one flax module = affordance LingUNet stream + depth head, producing
+  per-pixel logits over H*W and a depth distribution in a single fused graph
+  (the BASELINE "single fused inference graph" requirement);
+- loss = loss_weights.aff * CE(softmax over H*W pixels, one-hot target px)
+       + loss_weights.depth * depth NLL  (default 0.1 / 0.9,
+  conf/affordance/train_affordance.yaml:31-34);
+- ``predict``: jitted argmax pixel + sampled depth + heatmap.
+
+Language conditioning enters as a precomputed sentence embedding (CLIP/SBERT/
+BERT towers — see hulc2_tpu.models.language); dim defaults to CLIP-RN50's
+1024.
+"""
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hulc2_tpu.affordance.depth_heads import DEPTH_HEADS, DepthNorm
+from hulc2_tpu.affordance.lingunet import LingUNet
+
+
+class AffordanceOutput(NamedTuple):
+    aff_logits: jnp.ndarray  # (B, H*W)
+    depth_pred: Optional[tuple]  # head-specific params
+    hw: Tuple[int, int]
+
+
+class AffordanceDetector(nn.Module):
+    encoder_name: str = "resnet18"
+    decoder_channels: Tuple[int, ...] = (256, 128, 64, 32, 16)
+    fusion_type: str = "mult"
+    lang_embed_dim: int = 1024
+    depth_dist: Optional[str] = "gaussian"  # gaussian | logistic | None
+    normalize_depth: bool = True
+    freeze_encoder: bool = True
+
+    @nn.compact
+    def __call__(self, img: jnp.ndarray, lang: jnp.ndarray, train: bool = False) -> AffordanceOutput:
+        b, h, w, _ = img.shape
+        logits, bottleneck = LingUNet(
+            self.encoder_name,
+            self.decoder_channels,
+            self.fusion_type,
+            self.lang_embed_dim,
+            freeze_encoder=self.freeze_encoder,
+            name="aff_stream",
+        )(img, lang, train)
+        depth_pred = None
+        if self.depth_dist:
+            head = DEPTH_HEADS[self.depth_dist](
+                lang_dim=self.lang_embed_dim,
+                name="depth_stream",
+                **({"normalized": self.normalize_depth} if self.depth_dist == "logistic" else {}),
+            )
+            # pool the bottleneck so the head's fc size is input-res independent
+            pooled = jnp.mean(bottleneck, axis=(1, 2))
+            depth_pred = head(pooled, lang)
+        return AffordanceOutput(logits.reshape(b, h * w), depth_pred, (h, w))
+
+    # ------------------------------------------------------------------ #
+    def compute_loss(
+        self,
+        out: AffordanceOutput,
+        target_px: jnp.ndarray,  # (B, 2) row, col
+        target_depth: Optional[jnp.ndarray],
+        loss_weights: Dict[str, float] = {"aff": 0.1, "depth": 0.9},
+    ):
+        h, w = out.hw
+        flat_idx = target_px[:, 0] * w + target_px[:, 1]
+        logp = jax.nn.log_softmax(out.aff_logits, axis=-1)
+        aff_loss = -jnp.mean(jnp.take_along_axis(logp, flat_idx[:, None], axis=-1))
+        total = loss_weights["aff"] * aff_loss
+        metrics = {"aff_loss": aff_loss}
+        if out.depth_pred is not None and target_depth is not None:
+            head = DEPTH_HEADS[self.depth_dist]
+            d = target_depth.reshape(-1, 1)
+            depth_loss = (
+                head.loss(out.depth_pred, d)
+                if self.depth_dist == "gaussian"
+                else LogisticDepthHeadLoss(self, out.depth_pred, d)
+            )
+            total = total + loss_weights["depth"] * depth_loss
+            metrics["depth_loss"] = depth_loss
+        metrics["total_loss"] = total
+        return total, metrics
+
+    def predict_from_output(self, rng: jax.Array, out: AffordanceOutput, depth_norm: Optional[DepthNorm]):
+        """argmax pixel + sampled depth + normalized heatmap (all on device)."""
+        h, w = out.hw
+        probs = jax.nn.softmax(out.aff_logits, axis=-1)
+        flat = jnp.argmax(probs, axis=-1)
+        px = jnp.stack([flat // w, flat % w], axis=-1)  # (B, 2) row, col
+        depth = None
+        if out.depth_pred is not None:
+            if self.depth_dist == "gaussian":
+                from hulc2_tpu.affordance.depth_heads import GaussianDepthHead
+
+                depth = GaussianDepthHead.sample(rng, out.depth_pred, depth_norm if self.normalize_depth else None)
+            else:
+                head = DEPTH_HEADS["logistic"](normalized=self.normalize_depth, lang_dim=self.lang_embed_dim)
+                depth = head.sample(rng, out.depth_pred, depth_norm)
+        return px, depth, probs.reshape(-1, h, w)
+
+
+def LogisticDepthHeadLoss(detector: AffordanceDetector, pred, d):
+    head = DEPTH_HEADS["logistic"](
+        normalized=detector.normalize_depth, lang_dim=detector.lang_embed_dim
+    )
+    return head.loss(pred, d)
+
+
+class AffordancePredictor:
+    """Host-facing inference wrapper: uint8 image + precomputed lang embedding
+    -> pixel/depth/heatmap via one jitted call (reference predict(),
+    pixel_aff_lang_detector.py:172-215). Handles 224-resize + [0,1] scaling
+    and maps the pixel back to the input resolution."""
+
+    def __init__(self, model: AffordanceDetector, variables, depth_norm: Optional[DepthNorm] = None,
+                 input_hw: Tuple[int, int] = (224, 224), seed: int = 0):
+        self.model = model
+        self.variables = variables
+        self.depth_norm = depth_norm or DepthNorm()
+        self.input_hw = input_hw
+        self._key = jax.random.PRNGKey(seed)
+        self._n = 0
+
+        @jax.jit
+        def _predict(variables, img, lang, key):
+            out = model.apply(variables, img, lang, False)
+            return model.predict_from_output(key, out, self.depth_norm)
+
+        self._predict = _predict
+
+    def predict(self, img_uint8: np.ndarray, lang_emb: np.ndarray) -> Dict:
+        from hulc2_tpu.ops.preprocess import resize
+
+        img = jnp.asarray(img_uint8[None]).astype(jnp.float32) / 255.0
+        img = resize(img, *self.input_hw)
+        lang = jnp.asarray(lang_emb[None], jnp.float32)
+        self._n += 1
+        px, depth, heat = self._predict(
+            self.variables, img, lang, jax.random.fold_in(self._key, self._n)
+        )
+        px = np.asarray(px[0])
+        # map back to original resolution ((row, col) -> reference's (x, y))
+        sy = img_uint8.shape[0] / self.input_hw[0]
+        sx = img_uint8.shape[1] / self.input_hw[1]
+        pixel = (int(px[1] * sx), int(px[0] * sy))
+        out = {"pixel": pixel, "softmax": np.asarray(heat[0])}
+        if depth is not None:
+            out["depth"] = float(np.asarray(depth).squeeze())
+        return out

@@ -1,2 +1,2 @@
 """Config registry: all registered groups/options (the conf/ tree equivalent)."""
-from hulc2_tpu.configs import policy  # noqa: F401  (registers groups on import)
+from hulc2_tpu.configs import affordance, policy  # noqa: F401  (registers groups on import)

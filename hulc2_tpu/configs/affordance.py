@@ -1,0 +1,60 @@
+"""Affordance-training config groups
+(reference: conf/affordance/train_affordance.yaml + aff_detection variants)."""
+from hulc2_tpu.core.config import register
+
+register(
+    "aff_detection",
+    "rn18_pixel",
+    {
+        "encoder_name": "resnet18",
+        "decoder_channels": [256, 128, 64, 32, 16],
+        "fusion_type": "mult",
+        "lang_embed_dim": 1024,
+        "depth_dist": "gaussian",  # gaussian | logistic | none
+        "normalize_depth": True,
+        "freeze_encoder": True,
+        "optimizer": {"kind": "adam", "lr": 1e-4},
+        "loss_weights": {"aff": 0.1, "depth": 0.9},
+        "dataset": {
+            "data_dir": "data/calvin_lang_MoCEndPt",
+            "cam": "static",
+            "data_percent": 1.0,
+            "img_resize": {"static": 224, "gripper": 96, "all": 100},
+        },
+    },
+)
+register(
+    "aff_detection",
+    "rn50_pixel",
+    {
+        "encoder_name": "resnet50",
+        "decoder_channels": [256, 128, 64, 32, 16],
+        "fusion_type": "mult",
+        "lang_embed_dim": 1024,
+        "depth_dist": "logistic",
+        "normalize_depth": True,
+        "freeze_encoder": True,
+        "optimizer": {"kind": "adam", "lr": 1e-4},
+        "loss_weights": {"aff": 0.1, "depth": 0.9},
+        "dataset": {
+            "data_dir": "data/calvin_lang_MoCEndPt",
+            "cam": "static",
+            "data_percent": 1.0,
+            "img_resize": {"static": 224, "gripper": 96, "all": 100},
+        },
+    },
+)
+
+register(
+    "root",
+    "train_affordance",
+    {
+        "_defaults_": [("aff_detection", "rn18_pixel")],
+        "batch_size": 32,
+        "num_workers": 4,
+        "max_epochs": 30,
+        "seed": 42,
+        "log_dir": "runs/affordance",
+        "rand_shift_pad": 8,
+    },
+)

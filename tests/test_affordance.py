@@ -1,0 +1,162 @@
+"""Affordance subsystem tests: fusion, LingUNet, depth heads, detector,
+on-disk dataset format, end-to-end gradient flow."""
+import json
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from hulc2_tpu.affordance import fusion
+from hulc2_tpu.affordance.dataset import AffordanceDataset, jitter_label_and_image, resize_pixel
+from hulc2_tpu.affordance.depth_heads import DepthNorm, GaussianDepthHead, LogisticDepthHead
+from hulc2_tpu.affordance.detector import AffordanceDetector
+
+
+class TestFusion:
+    @pytest.mark.parametrize("name", ["add", "mult", "max", "conv", "film", "cross_modal_2d"])
+    def test_shapes_preserved(self, name):
+        x1 = jnp.ones((2, 8, 8, 16))
+        x2 = jnp.ones((2, 16))
+        mod = fusion.FUSERS[name]()
+        y, params = mod.init_with_output(jax.random.PRNGKey(0), x1, x2)
+        assert y.shape[:3] == (2, 8, 8)
+
+    def test_concat_grows_channels(self):
+        x1, x2 = jnp.ones((2, 8, 8, 16)), jnp.ones((2, 16))
+        y, _ = fusion.FUSERS["concat"]().init_with_output(jax.random.PRNGKey(0), x1, x2)
+        assert y.shape == (2, 8, 8, 32)
+
+    def test_word_attention(self):
+        x1 = jnp.ones((2, 8, 8, 16))
+        words = jnp.ones((2, 5, 16))
+        y, _ = fusion.FUSERS["word_attention"]().init_with_output(jax.random.PRNGKey(0), x1, words)
+        assert y.shape == x1.shape
+
+
+class TestDepthHeads:
+    def test_gaussian_loss_and_sample(self):
+        head = GaussianDepthHead(lang_dim=32)
+        feat, lang = jnp.ones((4, 64)), jnp.ones((4, 32))
+        pred, params = head.init_with_output(jax.random.PRNGKey(0), feat, lang)
+        mu, sigma = pred
+        assert mu.shape == (4, 1) and float(sigma.min()) > 0
+        loss = GaussianDepthHead.loss(pred, jnp.zeros((4, 1)))
+        assert np.isfinite(float(loss))
+        s = GaussianDepthHead.sample(jax.random.PRNGKey(1), pred, DepthNorm(2.0, 0.5))
+        assert s.shape == (4, 1)
+
+    def test_logistic_loss_and_sample(self):
+        head = LogisticDepthHead(lang_dim=32, normalized=True)
+        feat, lang = jnp.ones((4, 64)), jnp.ones((4, 32))
+        pred, params = head.init_with_output(jax.random.PRNGKey(0), feat, lang)
+        loss = head.loss(pred, jnp.zeros((4,)))
+        assert np.isfinite(float(loss))
+        s = head.sample(jax.random.PRNGKey(1), pred, DepthNorm(2.0, 0.5))
+        assert s.shape == (4, 1)
+
+
+class TestDetector:
+    @pytest.fixture(scope="class")
+    def detector(self):
+        model = AffordanceDetector(
+            decoder_channels=(32, 16, 8, 8, 8), lang_embed_dim=64, depth_dist="gaussian"
+        )
+        img = jnp.zeros((2, 64, 64, 3))
+        lang = jnp.zeros((2, 64))
+        variables = model.init(jax.random.PRNGKey(0), img, lang, False)
+        return model, variables
+
+    def test_forward_and_loss(self, detector):
+        model, variables = detector
+        img = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3), jnp.float32)
+        lang = jnp.asarray(np.random.RandomState(1).rand(2, 64), jnp.float32)
+        out = model.apply(variables, img, lang, False)
+        assert out.aff_logits.shape == (2, 64 * 64)
+        px = jnp.asarray([[10, 20], [30, 40]])
+        depth = jnp.asarray([0.5, -0.2])
+        total, metrics = model.compute_loss(out, px, depth)
+        assert np.isfinite(float(total))
+        assert "aff_loss" in metrics and "depth_loss" in metrics
+
+    def test_gradients_skip_frozen_encoder(self, detector):
+        model, variables = detector
+        img = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3), jnp.float32)
+        lang = jnp.asarray(np.random.RandomState(1).rand(2, 64), jnp.float32)
+        px = jnp.asarray([[10, 20], [30, 40]])
+        depth = jnp.asarray([0.5, -0.2])
+
+        def loss_fn(p):
+            out = model.apply({"params": p, "batch_stats": variables["batch_stats"]}, img, lang, False)
+            return model.compute_loss(out, px, depth)[0]
+
+        grads = jax.grad(loss_fn)(variables["params"])
+        enc_norm = sum(
+            float(jnp.abs(g).sum()) for g in jax.tree_util.tree_leaves(grads["aff_stream"]["encoder"])
+        )
+        dec_norm = sum(
+            float(jnp.abs(g).sum()) for g in jax.tree_util.tree_leaves(grads["aff_stream"]["decoder"])
+        )
+        assert enc_norm == 0.0  # frozen
+        assert dec_norm > 0.0
+
+    def test_predict_pixel_recovers_peak(self, detector):
+        model, variables = detector
+        # craft logits with a known argmax
+        from hulc2_tpu.affordance.detector import AffordanceOutput
+
+        logits = jnp.full((1, 64 * 64), -10.0).at[0, 17 * 64 + 42].set(10.0)
+        out = AffordanceOutput(logits, None, (64, 64))
+        px, depth, heat = model.predict_from_output(jax.random.PRNGKey(0), out, None)
+        assert tuple(np.asarray(px[0])) == (17, 42)
+        assert heat.shape == (1, 64, 64)
+
+
+class TestDataset:
+    @pytest.fixture(scope="class")
+    def aff_dir(self, tmp_path_factory):
+        root = tmp_path_factory.mktemp("aff")
+        rng = np.random.default_rng(0)
+        info = {"training": {}, "validation": {}, "norm_values": {"depth": {"static_cam": {"mean": 2.0, "std": 0.5}}}}
+        for split, eps in (("training", ["episode_00", "episode_01"]), ("validation", ["episode_02"])):
+            for ep in eps:
+                files = []
+                d = root / ep / "data" / "static_cam"
+                d.mkdir(parents=True)
+                for i in range(4):
+                    np.savez(
+                        d / f"frame_{i:04d}.npz",
+                        frame=rng.integers(0, 256, (100, 100, 3), np.uint8),
+                        centers=np.array([[0, 30 + i, 40 + i]]),
+                        depth=np.float32(2.0 + 0.1 * i),
+                        lang_ann="open the drawer",
+                    )
+                    files.append(f"frame_{i:04d}")
+                info[split][ep] = {"static_cam": files}
+        (root / "episodes_split.json").write_text(json.dumps(info))
+        return root
+
+    def test_load(self, aff_dir):
+        ds = AffordanceDataset(aff_dir, "training", img_resize=64,
+                               lang_embedder=lambda s: np.zeros(16, np.float32))
+        assert len(ds) == 8
+        s = ds[0]
+        assert s["frame"].shape == (100, 100, 3)
+        # pixel mapped from 100 -> 64 resolution
+        np.testing.assert_array_equal(s["px"], resize_pixel([30, 40], (100, 100), (64, 64)))
+        assert abs(float(s["normalized_depth"]) - 0.0) < 1e-6  # (2.0-2.0)/0.5
+        assert s["lang"].shape == (16,)
+
+    def test_jitter_label_coherent(self):
+        """The shifted image's pixel at the new label equals the original
+        image's pixel at the old label (modulo clipping)."""
+        rng = np.random.default_rng(3)
+        imgs = jnp.asarray(rng.random((4, 32, 32, 3)), jnp.float32)
+        px = jnp.asarray([[16, 16]] * 4)
+        shifted, new_px = jitter_label_and_image(jax.random.PRNGKey(0), imgs, px, pad=4)
+        for b in range(4):
+            r, c = int(new_px[b, 0]), int(new_px[b, 1])
+            np.testing.assert_allclose(
+                np.asarray(shifted[b, r, c]), np.asarray(imgs[b, 16, 16]), atol=1e-6
+            )
