@@ -54,6 +54,35 @@ register(
         "proprio": PROPRIO_IDENTITY,
     },
 )
+VISION_R3M = {"_name_": "vision_r3m", "visual_features": 64, "resnet_model": "resnet18", "freeze_backbone": True}
+VISION_CLIP = {"_name_": "vision_clip", "visual_features": 64, "clip_embed_dim": 1024}
+VISION_RESNET = {"_name_": "vision_resnet", "visual_features": 64, "freeze_backbone": False}
+TACTILE = {"_name_": "tactile_encoder", "visual_features": 64, "freeze_backbone": True}
+
+register(
+    "model/perceptual_encoder",
+    "gripper_cam_r3m",  # hulc2 real-world default: frozen R3M static stream
+    {
+        "rgb_static": VISION_R3M,
+        "rgb_gripper": VISION_GRIPPER,
+        "depth_static": None,
+        "depth_gripper": None,
+        "tactile": None,
+        "proprio": None,
+    },
+)
+register(
+    "model/perceptual_encoder",
+    "static_rgb_tactile",
+    {
+        "rgb_static": VISION_STATIC,
+        "rgb_gripper": None,
+        "depth_static": None,
+        "depth_gripper": None,
+        "tactile": TACTILE,
+        "proprio": PROPRIO_IDENTITY,
+    },
+)
 register(
     "model/perceptual_encoder",
     "rgbd_both",

@@ -54,6 +54,38 @@ def _vision_conv(**kw):
     return VisionConv(dtype=dtype, **kw)
 
 
+@cfg_lib.factory("vision_r3m")
+def _vision_r3m(**kw):
+    from hulc2_tpu.models.pretrained_vision import VisionR3M
+
+    dtype = _DTYPES[kw.pop("compute_dtype", "float32")]
+    return VisionR3M(dtype=dtype, **kw)
+
+
+@cfg_lib.factory("vision_clip")
+def _vision_clip(**kw):
+    from hulc2_tpu.models.pretrained_vision import VisionClip
+
+    dtype = _DTYPES[kw.pop("compute_dtype", "float32")]
+    return VisionClip(dtype=dtype, **kw)
+
+
+@cfg_lib.factory("vision_resnet")
+def _vision_resnet(**kw):
+    from hulc2_tpu.models.pretrained_vision import VisionResNet
+
+    dtype = _DTYPES[kw.pop("compute_dtype", "float32")]
+    return VisionResNet(dtype=dtype, **kw)
+
+
+@cfg_lib.factory("tactile_encoder")
+def _tactile(**kw):
+    from hulc2_tpu.models.pretrained_vision import TactileEncoder
+
+    dtype = _DTYPES[kw.pop("compute_dtype", "float32")]
+    return TactileEncoder(dtype=dtype, **kw)
+
+
 def build_encoder(enc_cfg: Optional[dict]):
     if enc_cfg is None:
         return None

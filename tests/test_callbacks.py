@@ -1,0 +1,112 @@
+"""Rollout callback + video tests on the symbolic fake env."""
+import numpy as np
+import pytest
+
+from hulc2_tpu.envs.fake_env import FakeCalvinEnv
+from hulc2_tpu.envs.task_oracle import SceneObsTaskOracle
+from hulc2_tpu.train.callbacks import (
+    RolloutCallback,
+    RolloutLongHorizonCallback,
+    TSNEPlotCallback,
+    shard_for_process,
+)
+from hulc2_tpu.train.rollout_video import RolloutVideo, draw_border
+
+
+def scripted_rollout_factory(success_rate=0.6, seed=0):
+    oracle = SceneObsTaskOracle()
+    rng = np.random.default_rng(seed)
+
+    def factory(trainer, state):
+        def rollout_fn(env, subtask):
+            if rng.random() < success_rate:
+                start = env.get_info()
+                env.perform(subtask)
+                return subtask in oracle.get_task_info_for_set(start, env.get_info(), [subtask])
+            return False
+
+        return rollout_fn
+
+    return factory
+
+
+class TestSharding:
+    def test_shard_partition(self):
+        items = list(range(10))
+        shards = [shard_for_process(items, i, 3) for i in range(3)]
+        assert sorted(sum(shards, [])) == items
+        assert all(len(s) >= 3 for s in shards)
+
+
+class TestLongHorizonCallback:
+    def test_metrics_written(self):
+        cb = RolloutLongHorizonCallback(
+            env_factory=lambda: FakeCalvinEnv(static_hw=16, gripper_hw=16),
+            rollout_fn_factory=scripted_rollout_factory(0.7),
+            num_sequences=16,
+            start_epoch=0,
+        )
+        metrics = {}
+        cb(None, epoch=0, state=None, val_metrics=metrics)
+        assert 0.2 < metrics["eval_lh/sr_chain_1"] <= 1.0
+        assert metrics["eval_lh/sr_chain_5"] <= metrics["eval_lh/sr_chain_1"]
+        assert 0 <= metrics["eval_lh/avg_seq_len"] <= 5
+
+    def test_respects_schedule(self):
+        cb = RolloutLongHorizonCallback(
+            env_factory=lambda: FakeCalvinEnv(),
+            rollout_fn_factory=scripted_rollout_factory(),
+            start_epoch=5,
+        )
+        metrics = {}
+        cb(None, epoch=0, state=None, val_metrics=metrics)
+        assert metrics == {}
+
+
+class TestRolloutCallback:
+    def test_per_task_sr(self):
+        cb = RolloutCallback(
+            env_factory=lambda: FakeCalvinEnv(static_hw=16, gripper_hw=16),
+            rollout_fn_factory=scripted_rollout_factory(1.0),
+            tasks=["open_drawer", "turn_on_led"],
+            rollouts_per_task=3,
+            start_epoch=0,
+            every_n_epochs=1,
+        )
+        metrics = {}
+        cb(None, epoch=0, state=None, val_metrics=metrics)
+        assert metrics["tasks/open_drawer_sr"] == 1.0
+        assert metrics["tasks/turn_on_led_sr"] == 1.0
+        assert metrics["tasks/average_sr"] == 1.0
+
+
+class TestRolloutVideo:
+    def test_video_pipeline(self, tmp_path):
+        rv = RolloutVideo(tmp_path, fps=5)
+        rv.new_video()
+        for _ in range(4):
+            rv.update(np.zeros((32, 32, 3), np.uint8))
+        rv.draw_outcome(True)
+        rv.add_language_instruction("open the drawer")
+        rv.finish_video("open_drawer")
+        rv.write(step=1)
+        files = list(tmp_path.iterdir())
+        assert len(files) == 1 and files[0].suffix in (".mp4", ".gif")
+
+    def test_border_colors(self):
+        f = np.zeros((16, 16, 3), np.uint8)
+        ok = draw_border(f, True)
+        fail = draw_border(f, False)
+        assert ok[0, 0, 1] > 0 and ok[0, 0, 0] == 0  # green
+        assert fail[0, 0, 0] > 0 and fail[0, 0, 1] == 0  # red
+
+
+class TestTSNECallback:
+    def test_writes_figure(self, tmp_path):
+        cb = TSNEPlotCallback(tmp_path, every_n_epochs=2)
+        rng = np.random.default_rng(0)
+        cb.record(rng.standard_normal((40, 16)), labels=rng.integers(0, 4, 40))
+        cb(None, epoch=1, state=None, val_metrics={})  # 1 % 2 != 0 -> skip
+        assert not list(tmp_path.glob("*.png"))
+        cb(None, epoch=2, state=None, val_metrics={})
+        assert list(tmp_path.glob("*.png"))
