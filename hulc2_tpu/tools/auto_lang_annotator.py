@@ -1,0 +1,129 @@
+"""Automatic language annotation of play data.
+
+Counterpart of the reference's annotator pipeline
+(reference: hulc2/utils/automatic_lang_annotator_mp.py:29-120,
+conf/lang_ann.yaml): scan play episodes for windows where the task oracle
+detects a completed task (here directly from the stored ``scene_obs`` vectors
+— no simulator replay needed, unlike the reference's env-reset approach),
+sample a sentence from the annotation bank, embed it, and write
+``auto_lang_ann.npy`` + ``embeddings.npy`` in the exact format the language
+dataset and evaluation consume (npz_dataset.py:145-194,
+evaluation/utils.py:88-96).
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+from pathlib import Path
+from typing import Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from hulc2_tpu.data.episode_index import load_ep_start_end_ids
+from hulc2_tpu.data.frame_store import NpzFrameStore
+from hulc2_tpu.envs.task_oracle import SceneObsTaskOracle
+from hulc2_tpu.evaluation.tasks import TASK_NAMES
+from hulc2_tpu.tools.annotations import ANNOTATION_BANK, sample_annotation
+
+logger = logging.getLogger(__name__)
+
+
+def detect_task_windows(
+    store: NpzFrameStore,
+    ep_ids: np.ndarray,
+    window: int = 64,
+    stride: int = 16,
+    tasks: Sequence[str] = TASK_NAMES,
+) -> List[dict]:
+    """Slide a window over each episode; keep windows where exactly ONE task
+    completed (unambiguous annotation, like the reference's oracle check)."""
+    oracle = SceneObsTaskOracle()
+    hits = []
+    for start, end in ep_ids:
+        for s in range(int(start), int(end) - window + 1, stride):
+            a = store.load_frame(s)
+            b = store.load_frame(s + window - 1)
+            info_a = {"scene_obs": a["scene_obs"]}
+            info_b = {"scene_obs": b["scene_obs"]}
+            done = oracle.get_task_info_for_set(info_a, info_b, tasks)
+            if len(done) == 1:
+                hits.append({"task": next(iter(done)), "indx": (s, s + window - 1)})
+    return hits
+
+
+def annotate_dataset(
+    data_dir,
+    lang_folder: str = "lang_annotations",
+    window: int = 64,
+    stride: int = 16,
+    embed_fn: Optional[Callable[[List[str]], np.ndarray]] = None,
+    seed: int = 0,
+    with_embeddings_lookup: bool = True,
+) -> dict:
+    """Write <data_dir>/<lang_folder>/auto_lang_ann.npy (+ embeddings.npy)."""
+    data_dir = Path(data_dir)
+    split = data_dir.name if data_dir.name in ("training", "validation") else "training"
+    ep_ids = load_ep_start_end_ids(data_dir, split)
+    store = NpzFrameStore(data_dir, ["scene_obs"])
+    hits = detect_task_windows(store, ep_ids, window, stride)
+    logger.info("%d annotated windows in %s", len(hits), data_dir)
+
+    rng = np.random.default_rng(seed)
+    anns = [sample_annotation(h["task"], rng) for h in hits]
+    tasks = [h["task"] for h in hits]
+    if embed_fn is None:  # deterministic hash-based stub embedding (384-d)
+        embed_fn = hash_embed
+    embs = np.asarray(embed_fn(anns), np.float32)[:, None, :]  # (N, 1, E)
+
+    lang_data = {
+        "language": {"ann": anns, "task": tasks, "emb": embs},
+        "info": {"episodes": [], "indx": [h["indx"] for h in hits]},
+    }
+    out = data_dir / lang_folder
+    out.mkdir(parents=True, exist_ok=True)
+    np.save(out / "auto_lang_ann.npy", lang_data)
+
+    if with_embeddings_lookup:
+        # canonical sentence per task -> embedding (evaluation lookup format)
+        canonical = {t: ANNOTATION_BANK[t][0] for t in TASK_NAMES}
+        emb_lookup = {
+            t: {"ann": [s], "emb": np.asarray(embed_fn([s]), np.float32)}
+            for t, s in canonical.items()
+        }
+        np.save(out / "embeddings.npy", emb_lookup)
+    return lang_data
+
+
+def hash_embed(sentences: List[str], dim: int = 384) -> np.ndarray:
+    """Deterministic fallback embedding (per-sentence seeded gaussian) used
+    when no language tower weights are available. Distinct sentences map to
+    distinct, reproducible vectors — sufficient for pipeline tests, NOT a
+    semantic embedding."""
+    out = np.empty((len(sentences), dim), np.float32)
+    for i, s in enumerate(sentences):
+        h = np.frombuffer(s.encode() + b"\x00" * 8, dtype=np.uint8)
+        rng = np.random.default_rng(int(h[:8].view(np.uint64)[0]))
+        out[i] = rng.standard_normal(dim).astype(np.float32)
+    return out
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("data_dir")
+    p.add_argument("--lang-folder", default="lang_annotations")
+    p.add_argument("--window", type=int, default=64)
+    p.add_argument("--stride", type=int, default=16)
+    p.add_argument("--lang-model", default=None, help="path to a local sbert/clip tower; hash stub if omitted")
+    args = p.parse_args(argv)
+    embed_fn = None
+    if args.lang_model:
+        from hulc2_tpu.models.language import SBertEncoder
+
+        enc = SBertEncoder(args.lang_model)
+        embed_fn = lambda anns: np.asarray(enc(anns))
+    annotate_dataset(args.data_dir, args.lang_folder, args.window, args.stride, embed_fn)
+
+
+if __name__ == "__main__":
+    logging.basicConfig(level=logging.INFO)
+    main()
