@@ -52,7 +52,30 @@ class NpzFrameStore:
         with np.load(self.frame_path(idx)) as z:
             return {k: z[k] for k in self.keys if k in z.files}
 
+    def _frame_specs(self):
+        """(shape, dtype) per key, probed once from the first frame."""
+        if not hasattr(self, "_specs"):
+            # probe using the first existing frame of the directory
+            first = next(
+                int(p.stem.split("_")[-1])
+                for p in sorted(Path(self.data_dir).glob(f"*{self.suffix}"))
+                if "camera" not in p.stem
+            )
+            probe = self.load_frame(first)
+            self._specs = {k: (v.shape, v.dtype) for k, v in probe.items() if k in self.keys}
+        return self._specs
+
     def load_window(self, start: int, size: int) -> Dict[str, np.ndarray]:
+        paths = [self.frame_path(start + i) for i in range(size)]
+        from hulc2_tpu.data import native_loader
+
+        if native_loader.available():
+            out = {}
+            for k, (shape, dtype) in self._frame_specs().items():
+                buf = np.empty((size, *shape), dtype)
+                native_loader.load_frames_into(paths, k, buf, n_threads=min(size, 8))
+                out[k] = buf
+            return out
         frames = [self.load_frame(start + i) for i in range(size)]
         return {k: np.stack([f[k] for f in frames]) for k in frames[0]}
 

@@ -238,3 +238,27 @@ class TestPreprocess:
     def test_resize_noop(self):
         x = jnp.asarray(np.random.RandomState(11).rand(2, 84, 84, 3), dtype=jnp.float32)
         assert preprocess.resize(x, 84, 84) is x
+
+
+class TestPallasShift:
+    def test_interpret_matches_reference(self):
+        """Pallas fused crop+normalize == slice-based reference (interpret
+        mode on CPU; compiled exactness is covered by the TPU bench script)."""
+        from hulc2_tpu.ops.pallas_shift import random_shift_normalize_pallas
+
+        rng_np = np.random.RandomState(0)
+        imgs = jnp.asarray(rng_np.randint(0, 256, (4, 32, 32, 3)), jnp.uint8)
+        key = jax.random.PRNGKey(1)
+        out = preprocess.scale_and_normalize(
+            preprocess.random_shift_slices(key, imgs, 4), [0.5], [0.5]
+        )
+        got = random_shift_normalize_pallas(key, imgs, 4, [0.5], [0.5], jnp.float32, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(out), atol=1e-6)
+
+    def test_matmul_shift_matches_slices(self):
+        rng_np = np.random.RandomState(1)
+        imgs = jnp.asarray(rng_np.randint(0, 256, (8, 40, 40, 3)), jnp.uint8)
+        key = jax.random.PRNGKey(2)
+        a = preprocess.random_shift(key, imgs, 6)
+        b = preprocess.random_shift_slices(key, imgs, 6).astype(jnp.float32)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
