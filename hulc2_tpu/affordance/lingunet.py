@@ -96,8 +96,16 @@ class LingUNet(nn.Module):
     def __call__(self, img, lang, train: bool = False):
         """img (B, H, W, 3) float; lang (B, E). Returns (logits (B,H,W,1),
         bottleneck features)."""
-        encoder = ResNet(self.encoder_name, name="encoder")
-        feats = encoder(img)
+        if self.encoder_name == "clip_rn50":
+            # CLIP ModifiedResNet prepool pyramid (the reference CLIPLingUNet
+            # stream, rn50_clip_lingunet.py:36); attention-pool output unused
+            # here — the text side supplies the language embedding
+            from hulc2_tpu.models.clip_resnet import ClipModifiedResNet
+
+            _, pyramid = ClipModifiedResNet(name="encoder")(img)
+            feats = [img] + pyramid
+        else:
+            feats = ResNet(self.encoder_name, name="encoder")(img)
         if self.freeze_encoder:
             feats = [jax.lax.stop_gradient(f) for f in feats]
         dec = UnetLangFusionDecoder(

@@ -46,6 +46,28 @@ register(
 )
 
 register(
+    "aff_detection",
+    "rn50_clip_pixel",
+    {
+        "encoder_name": "clip_rn50",
+        "decoder_channels": [256, 128, 64, 32, 16],
+        "fusion_type": "mult",
+        "lang_embed_dim": 1024,
+        "depth_dist": "gaussian",
+        "normalize_depth": True,
+        "freeze_encoder": True,
+        "optimizer": {"kind": "adam", "lr": 1e-4},
+        "loss_weights": {"aff": 0.1, "depth": 0.9},
+        "dataset": {
+            "data_dir": "data/calvin_lang_MoCEndPt",
+            "cam": "static",
+            "data_percent": 1.0,
+            "img_resize": {"static": 224, "gripper": 96, "all": 100},
+        },
+    },
+)
+
+register(
     "root",
     "train_affordance",
     {
