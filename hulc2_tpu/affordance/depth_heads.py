@@ -93,17 +93,31 @@ class LogisticDepthHead(nn.Module):
         return logit_probs, log_scales, means
 
     def loss(self, pred, target: jnp.ndarray) -> jnp.ndarray:
-        logit_probs, log_scales, means = pred
-        lo, hi = self.bounds
-        return logistic.logistic_mixture_loss(
-            logit_probs, log_scales, means, target.reshape(-1, 1),
-            jnp.asarray(lo), jnp.asarray(hi), self.num_classes, self.log_scale_min,
-        )
+        return logistic_depth_loss(pred, target, self.normalized, self.num_classes, self.log_scale_min)
 
     def sample(self, rng: jax.Array, pred, norm: Optional[DepthNorm] = None) -> jnp.ndarray:
-        logit_probs, log_scales, means = pred
-        s = logistic.logistic_mixture_sample(rng, logit_probs, log_scales, means)
-        return norm.denormalize(s) if (norm and self.normalized) else s
+        return logistic_depth_sample(rng, pred, norm if self.normalized else None)
+
+
+def logistic_bounds(normalized: bool) -> Tuple[float, float]:
+    return (-2.0, 2.0) if normalized else (1.3, 4.5)
+
+
+def logistic_depth_loss(pred, target: jnp.ndarray, normalized: bool = True,
+                        num_classes: int = 128, log_scale_min: float = -7.0) -> jnp.ndarray:
+    """Free-function form (usable outside flax binding)."""
+    logit_probs, log_scales, means = pred
+    lo, hi = logistic_bounds(normalized)
+    return logistic.logistic_mixture_loss(
+        logit_probs, log_scales, means, target.reshape(-1, 1),
+        jnp.asarray(lo), jnp.asarray(hi), num_classes, log_scale_min,
+    )
+
+
+def logistic_depth_sample(rng: jax.Array, pred, norm: Optional[DepthNorm] = None) -> jnp.ndarray:
+    logit_probs, log_scales, means = pred
+    s = logistic.logistic_mixture_sample(rng, logit_probs, log_scales, means)
+    return norm.denormalize(s) if norm else s
 
 
 DEPTH_HEADS = {"gaussian": GaussianDepthHead, "logistic": LogisticDepthHead}

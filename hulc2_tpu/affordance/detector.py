@@ -55,6 +55,11 @@ class AffordanceDetector(nn.Module):
             freeze_encoder=self.freeze_encoder,
             name="aff_stream",
         )(img, lang, train)
+        assert logits.shape[1:3] == (h, w), (
+            f"decoder output {logits.shape[1:3]} != input {(h, w)} — "
+            "decoder_channels must have one more block than the encoder has "
+            "skip levels (5 for resnet/clip encoders)"
+        )
         depth_pred = None
         if self.depth_dist:
             head = DEPTH_HEADS[self.depth_dist](
@@ -82,12 +87,13 @@ class AffordanceDetector(nn.Module):
         total = loss_weights["aff"] * aff_loss
         metrics = {"aff_loss": aff_loss}
         if out.depth_pred is not None and target_depth is not None:
-            head = DEPTH_HEADS[self.depth_dist]
+            from hulc2_tpu.affordance.depth_heads import GaussianDepthHead, logistic_depth_loss
+
             d = target_depth.reshape(-1, 1)
             depth_loss = (
-                head.loss(out.depth_pred, d)
+                GaussianDepthHead.loss(out.depth_pred, d)
                 if self.depth_dist == "gaussian"
-                else LogisticDepthHeadLoss(self, out.depth_pred, d)
+                else logistic_depth_loss(out.depth_pred, d, self.normalize_depth)
             )
             total = total + loss_weights["depth"] * depth_loss
             metrics["depth_loss"] = depth_loss
@@ -107,16 +113,10 @@ class AffordanceDetector(nn.Module):
 
                 depth = GaussianDepthHead.sample(rng, out.depth_pred, depth_norm if self.normalize_depth else None)
             else:
-                head = DEPTH_HEADS["logistic"](normalized=self.normalize_depth, lang_dim=self.lang_embed_dim)
-                depth = head.sample(rng, out.depth_pred, depth_norm)
+                from hulc2_tpu.affordance.depth_heads import logistic_depth_sample
+
+                depth = logistic_depth_sample(rng, out.depth_pred, depth_norm if self.normalize_depth else None)
         return px, depth, probs.reshape(-1, h, w)
-
-
-def LogisticDepthHeadLoss(detector: AffordanceDetector, pred, d):
-    head = DEPTH_HEADS["logistic"](
-        normalized=detector.normalize_depth, lang_dim=detector.lang_embed_dim
-    )
-    return head.loss(pred, d)
 
 
 class AffordancePredictor:
