@@ -359,3 +359,111 @@ register(
         "logger": "jsonl",
     },
 )
+
+
+# --------------------------------------------------------------------------- #
+# real-world (TACO teleop) composites                                          #
+# (reference: conf/cfg_low_level_rw.yaml, conf/model/real_world_hulc++.yaml,   #
+#  conf/datamodule/real_world_default.yaml)                                    #
+# --------------------------------------------------------------------------- #
+register(
+    "model/action_decoder",
+    "logistic_decoder_rnn_real_world",
+    {
+        "kind": "logistic",
+        "n_mixtures": 10,
+        "hidden_size": 2048,
+        "out_features": "${datamodule.action_space}",
+        "log_scale_min": -7.0,
+        "act_max_bound": "${datamodule.action_max}",
+        "act_min_bound": "${datamodule.action_min}",
+        "num_classes": 10,
+        "gripper_alpha": 1.0,
+        "perceptual_emb_slice": [0, 128],  # full visual emb (rw decoder)
+        "policy_rnn_dropout_p": 0.0,
+        "num_layers": 2,
+        "rnn_model": "rnn_decoder",
+        "gripper_control": False,
+        "discrete_gripper": True,
+    },
+)
+register(
+    "model",
+    "real_world_hulc",
+    {
+        "_defaults_": [
+            ("model/perceptual_encoder", "gripper_cam_r3m"),
+            ("model/plan_proposal", "default"),
+            ("model/plan_recognition", "transformers"),
+            ("model/distribution", "discrete"),
+            ("model/visual_goal", "default"),
+            ("model/language_goal", "default"),
+            ("model/action_decoder", "logistic_decoder_rnn_real_world"),
+            ("model/optimizer", "adam"),
+            ("model/lr_scheduler", "constant"),
+            ("model/proj_vis_lang", "default"),
+        ],
+        "kl_beta": "${loss.kl_beta}",
+        "kl_balancing_mix": "${loss.kl_balancing_mix}",
+        "replan_freq": 30,
+        "use_clip_auxiliary_loss": False,
+        "clip_auxiliary_loss_beta": "${loss.clip_auxiliary_loss_beta}",
+        "use_plan": True,
+        "compute_dtype": "bfloat16",
+    },
+)
+register(
+    "datamodule",
+    "real_world_default",
+    {
+        "root_data_dir": "data/taco_play",
+        "action_space": 7,
+        "action_max": [1.0] * 7,
+        "action_min": [-1.0] * 7,
+        "batch_size_vis": 32,
+        "batch_size_lang": 32,
+        "min_window_size": 20,
+        "max_window_size": 32,
+        "skip_frames": 1,
+        "pad": True,
+        "lang_folder": "lang_paraphrase-MiniLM-L3-v2",
+        "aux_lang_loss_window": 8,
+        "data_percent": 1.0,
+        "load_lang_embeddings": True,
+        "num_workers": 8,
+        "shuffle_val": False,
+        "observation_space": {
+            "rgb_obs": ["rgb_static", "rgb_gripper"],
+            "depth_obs": [],
+            "state_obs": ["robot_obs"],
+            "actions": ["rel_actions_gripper"],
+            "language": ["language"],
+        },
+        "proprioception_dims": {
+            "n_state_obs": 8,
+            "keep_indices": [[0, 7], [14, 15]],
+            "robot_orientation_idx": [3, 6],
+            "normalize": True,
+            "normalize_robot_orientation": True,
+        },
+        "transforms": "real_world_r3m",
+    },
+)
+register(
+    "root",
+    "cfg_low_level_rw",
+    {
+        "_defaults_": [
+            ("callbacks", "calvin_default"),
+            ("datamodule", "real_world_default"),
+            ("model", "real_world_hulc"),
+            ("loss", "default"),
+            ("training", "default_training"),
+            ("trainer", "play_trainer"),
+        ],
+        "data_percent": 1.0,
+        "seed": 42,
+        "log_dir": "runs",
+        "logger": "jsonl",
+    },
+)

@@ -62,6 +62,59 @@ TRANSFORM_PRESETS = {
             ],
         },
     },
+    # real-robot TACO presets (reference: conf/datamodule/transforms/real_world.yaml,
+    # real_world_r3m.yaml): color jitter instead of static-cam shifts; the r3m
+    # variant keeps static pixels in [0, 255] (R3M normalizes internally)
+    "real_world": {
+        "train": {
+            "rgb_static": [
+                {"op": "scale_normalize", "mean": [0.0], "std": [1.0]},  # -> [0,1]
+                {"op": "color_jitter", "contrast": 0.05, "brightness": 0.05, "hue": 0.02, "prob": 1.0},
+                {"op": "normalize", "mean": [0.5], "std": [0.5]},
+            ],
+            "rgb_gripper": [
+                {"op": "resize", "size": 84},
+                {"op": "scale_normalize", "mean": [0.0], "std": [1.0]},
+                {"op": "color_jitter", "contrast": 0.05, "brightness": 0.05, "hue": 0.02, "prob": 1.0},
+                {"op": "random_shift_float", "pad": 4},
+                {"op": "normalize", "mean": [0.5], "std": [0.5]},
+            ],
+            "depth_static": [{"op": "depth_noise"}],
+            "depth_gripper": [{"op": "resize", "size": 84}, {"op": "gaussian_noise", "std": 0.01}],
+        },
+        "val": {
+            "rgb_static": [{"op": "scale_normalize", "mean": [0.5], "std": [0.5]}],
+            "rgb_gripper": [
+                {"op": "resize", "size": 84},
+                {"op": "scale_normalize", "mean": [0.5], "std": [0.5]},
+            ],
+            "depth_gripper": [{"op": "resize", "size": 84}],
+        },
+    },
+    "real_world_r3m": {
+        "train": {
+            "rgb_static": [
+                {"op": "scale_normalize", "mean": [0.0], "std": [1.0]},  # -> [0,1]
+                {"op": "color_jitter", "contrast": 0.05, "brightness": 0.05, "hue": 0.02, "prob": 1.0},
+                {"op": "normalize", "mean": [0.0], "std": [1.0 / 255.0]},  # back to [0,255] for R3M
+            ],
+            "rgb_gripper": [
+                {"op": "resize", "size": 84},
+                {"op": "scale_normalize", "mean": [0.0], "std": [1.0]},
+                {"op": "color_jitter", "contrast": 0.05, "brightness": 0.05, "hue": 0.02, "prob": 1.0},
+                {"op": "random_shift_float", "pad": 4},
+                {"op": "normalize", "mean": [0.5], "std": [0.5]},
+            ],
+        },
+        "val": {
+            "rgb_static": [{"op": "scale_normalize", "mean": [0.0], "std": [1.0]},
+                           {"op": "normalize", "mean": [0.0], "std": [1.0 / 255.0]}],
+            "rgb_gripper": [
+                {"op": "resize", "size": 84},
+                {"op": "scale_normalize", "mean": [0.5], "std": [0.5]},
+            ],
+        },
+    },
     "play_basic": {
         "train": {
             "rgb_static": [
@@ -98,6 +151,9 @@ def _apply_ops(rng: jax.Array, imgs: jnp.ndarray, ops: list, dtype) -> jnp.ndarr
                 x = preprocess.resize_shorter_edge(x, op["size"])
         elif kind == "random_shift":
             x = preprocess.random_shift(key, x, op["pad"])
+        elif kind == "random_shift_float":
+            # shift applied after float ops (real-world preset ordering)
+            x = preprocess.random_shift_slices(key, x.astype(dtype), op["pad"])
         elif kind == "random_crop":
             x = preprocess.random_crop(key, x, op["size"], op["size"])
         elif kind == "scale_normalize":
