@@ -195,6 +195,13 @@ def build_policy(model_cfg: dict) -> Hulc2:
     )
     vg_cfg = model_cfg["visual_goal"]
     use_clip = model_cfg.get("use_clip_auxiliary_loss", True)
+    from hulc2_tpu.models.aux_nets import BCZLangDecoder, MIALangDiscriminator, StateDecoder
+
+    proprio_dim = (pe_cfg.get("proprio") or {}).get("n_state_obs", 8)
+    lang_dim = (lg_cfg or {}).get("in_features", 384)
+    state_dec = StateDecoder(n_state_obs=proprio_dim, dtype=dtype) if model_cfg.get("use_state_recons") else None
+    bcz = BCZLangDecoder(lang_dim=lang_dim, dtype=dtype) if model_cfg.get("use_bc_z_auxiliary_loss") else None
+    mia = MIALangDiscriminator(dtype=dtype) if model_cfg.get("use_mia_auxiliary_loss") else None
     return Hulc2(
         perceptual_encoder=build_perceptual_encoder(pe_cfg),
         plan_proposal=PlanProposalNetwork(
@@ -221,4 +228,7 @@ def build_policy(model_cfg: dict) -> Hulc2:
         use_clip_auxiliary_loss=use_clip,
         use_plan=model_cfg.get("use_plan", True),
         replan_freq=model_cfg.get("replan_freq", 30),
+        state_decoder=state_dec,
+        bcz_lang_decoder=bcz,
+        mia_discriminator=mia,
     )

@@ -60,6 +60,12 @@ class Hulc2(nn.Module):
     use_clip_auxiliary_loss: bool = True
     use_plan: bool = True  # False => GCBC baseline
     replan_freq: int = 30
+    # optional auxiliary losses (reference: hulc2/models/gcbc.py:95-180 —
+    # state_recons / lang_recons (BC-Z) / lang_contrastive (MIA)); betas are
+    # applied by the training step from the loss config
+    state_decoder: Optional[nn.Module] = None
+    bcz_lang_decoder: Optional[nn.Module] = None
+    mia_discriminator: Optional[nn.Module] = None
 
     def setup(self):
         if self.use_clip_auxiliary_loss:
@@ -140,6 +146,23 @@ class Hulc2(nn.Module):
                 seq_feat[n_vis:], latent_goal[n_vis:], mask
             )
             metrics["lang_clip_loss"] = clip_loss
+
+        # ---- optional aux losses (gcbc.py variants) ----
+        if self.state_decoder is not None:
+            recon = self.state_decoder(perceptual_emb)
+            metrics["proprio_loss"] = jnp.mean((recon - robot_obs) ** 2)
+        if self.bcz_lang_decoder is not None and "lang" in batch:
+            mask = batch["lang"]["use_for_aux_lang_loss"].astype(jnp.float32)
+            pred = self.bcz_lang_decoder(seq_feat[n_vis:])
+            cos = _cosine_similarity(pred, lang_emb)
+            metrics["lang_pred_loss"] = jnp.sum((1.0 - cos) * mask) / jnp.maximum(mask.sum(), 1.0)
+        if self.mia_discriminator is not None and "lang" in batch:
+            mask = batch["lang"]["use_for_aux_lang_loss"].astype(jnp.float32)
+            vis_feat = seq_feat[n_vis:]
+            pos = self.mia_discriminator(vis_feat, lang_emb)[..., 0]
+            neg = self.mia_discriminator(vis_feat, jnp.roll(lang_emb, 1, axis=0))[..., 0]
+            bce = jax.nn.softplus(-pos) + jax.nn.softplus(neg)  # -log(sig(pos)) - log(1-sig(neg))
+            metrics["lang_contrastive_loss"] = jnp.sum(bce * mask) / jnp.maximum(mask.sum(), 1.0)
         metrics.update(kl_loss=kl_loss, action_loss=action_loss, total_loss=total)
         return metrics
 
@@ -318,6 +341,12 @@ class Hulc2(nn.Module):
         action = dec.sample_actions(self.make_rng("sample"), dec_out, robot_obs_raw)
         new_carry = PolicyCarry(plan, latent_goal, dec_out.hidden, carry.step + 1)
         return action[:, -1], new_carry
+
+
+def _cosine_similarity(a, b, eps=1e-8):
+    a = a / jnp.maximum(jnp.linalg.norm(a, axis=-1, keepdims=True), eps)
+    b = b / jnp.maximum(jnp.linalg.norm(b, axis=-1, keepdims=True), eps)
+    return jnp.sum(a * b, axis=-1)
 
 
 def cat_dict(batch, mods, outer: str, key: str):

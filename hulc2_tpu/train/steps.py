@@ -27,6 +27,7 @@ def make_train_step(
     transforms: Dict[str, Callable],
     clip_loss_beta: float = 3.0,
     donate: bool = True,
+    aux_betas: Optional[Dict[str, float]] = None,
 ) -> Callable:
     """Returns jitted fn(state, raw_batch, root_key, kl_beta) -> (state, metrics).
 
@@ -46,6 +47,9 @@ def make_train_step(
             loss = metrics["total_loss"]
             if "lang_clip_loss" in metrics:
                 loss = loss + clip_loss_beta * metrics["lang_clip_loss"]
+            for key, beta in (aux_betas or {}).items():
+                if key in metrics:
+                    loss = loss + beta * metrics[key]
             metrics["loss"] = loss
             return loss, metrics
 

@@ -184,3 +184,36 @@ class TestPolicyStep:
         h1 = np.asarray(jax.tree_util.tree_leaves(carry1.hidden)[0])
         h2 = np.asarray(jax.tree_util.tree_leaves(carry2.hidden)[0])
         assert not np.array_equal(h1, h2)
+
+
+class TestAuxLosses:
+    def test_state_recons_bcz_mia(self):
+        """GCBC-style auxiliary losses produce finite masked metrics and
+        gradients (reference: gcbc.py:95-180)."""
+        cfg = cfg_lib.compose(
+            "cfg_low_level",
+            ["model.compute_dtype=float32", "model.use_state_recons=true",
+             "model.use_bc_z_auxiliary_loss=true", "model.use_mia_auxiliary_loss=true"],
+        )
+        model = build_policy(cfg["model"])
+        rng = np.random.RandomState(3)
+        batch = {"vis": make_batch(rng), "lang": make_batch(rng, with_lang=True)}
+        rngs = {"sample": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+        params = model.init({"params": jax.random.PRNGKey(2), **rngs}, batch)
+        m = model.apply(params, batch, 0.01, True, rngs=rngs)
+        for k in ("proprio_loss", "lang_pred_loss", "lang_contrastive_loss"):
+            assert k in m and np.isfinite(float(m[k])), k
+
+        from hulc2_tpu.train import optim
+        from hulc2_tpu.train.steps import make_train_step
+        from hulc2_tpu.train.state import create_train_state
+
+        tx = optim.make_optimizer({"kind": "adam", "lr": 1e-4})
+        state = create_train_state(lambda: params, tx)
+        step = make_train_step(
+            model, tx, {m_: (lambda r, raw: raw) for m_ in ("vis", "lang")}, 3.0,
+            donate=False,
+            aux_betas={"proprio_loss": 0.5, "lang_pred_loss": 1.0, "lang_contrastive_loss": 1.0},
+        )
+        state2, metrics = step(state, batch, jax.random.PRNGKey(0), jnp.asarray(0.01))
+        assert float(metrics["loss"]) > float(metrics["total_loss"])
