@@ -1,0 +1,112 @@
+"""Config -> trainer callbacks wiring.
+
+The reference instantiates its callback zoo from Hydra groups
+(reference: hulc2/training.py:59-62, conf/callbacks/*). Here
+``build_callbacks(cfg, dm)`` assembles the equivalents:
+
+- rollout / rollout_lh: training-time env rollouts. The env comes from an
+  ``env`` spec: "calvin" (requires calvin_env + dataset rendering config) or
+  "fake" (symbolic smoke env). The rollout_fn builds a Hulc2Agent around the
+  trainer's live model/params each invocation.
+- tsne_plot: plan-space diagnostics.
+- kl_schedule is handled natively by the Trainer.
+"""
+from __future__ import annotations
+
+import logging
+from typing import Callable, List, Optional
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def make_env_factory(env_spec: str, dataset_path=None) -> Callable:
+    if env_spec == "fake":
+        from hulc2_tpu.envs.fake_env import FakeCalvinEnv
+
+        return lambda: FakeCalvinEnv()
+    if env_spec == "calvin":
+        from hulc2_tpu.envs.calvin_wrapper import CalvinEnvWrapper, make_calvin_env
+
+        return lambda: CalvinEnvWrapper(make_calvin_env(dataset_path, show_gui=False))
+    raise ValueError(env_spec)
+
+
+def make_policy_rollout_fn_factory(cfg: dict, ep_len: int, lang_embeddings=None) -> Callable:
+    """(trainer, state) -> rollout_fn(env, subtask) -> bool."""
+
+    def factory(trainer, state):
+        from hulc2_tpu.agents.hulc2_agent import Hulc2Agent
+        from hulc2_tpu.envs.task_oracle import SceneObsTaskOracle
+        from hulc2_tpu.tools.annotations import ANNOTATION_BANK
+        from hulc2_tpu.tools.auto_lang_annotator import hash_embed
+
+        oracle = SceneObsTaskOracle()
+        table = lang_embeddings or {}
+
+        def rollout_fn(env, subtask: str) -> bool:
+            agent = getattr(rollout_fn, "_agent", None)
+            if agent is None or agent.env is not env:
+                agent = Hulc2Agent(env, trainer.model, state.params, cfg["datamodule"])
+                rollout_fn._agent = agent
+            caption = ANNOTATION_BANK[subtask][0]
+            emb = table.get(caption)
+            if emb is None:
+                emb = hash_embed([caption])[0]
+            agent.reset()
+            start = env.get_info()
+            goal = {"lang": np.asarray(emb, np.float32)}
+            obs = env.get_obs()
+            for _ in range(ep_len):
+                action = agent.step(obs, goal)
+                obs, _, _, _ = env.step(action)
+                if subtask in oracle.get_task_info_for_set(start, env.get_info(), [subtask]):
+                    return True
+            return False
+
+        return rollout_fn
+
+    return factory
+
+
+def build_callbacks(cfg: dict, run_dir, lang_embeddings=None) -> List:
+    from hulc2_tpu.train.callbacks import (
+        RolloutCallback,
+        RolloutLongHorizonCallback,
+        TSNEPlotCallback,
+    )
+
+    cbs: List = []
+    cb_cfg = cfg.get("callbacks") or {}
+    lh = cb_cfg.get("rollout_lh")
+    if lh:
+        env_factory = make_env_factory(lh.get("env", "calvin"), lh.get("dataset_path"))
+        cbs.append(
+            RolloutLongHorizonCallback(
+                env_factory=env_factory,
+                rollout_fn_factory=make_policy_rollout_fn_factory(
+                    cfg, lh.get("ep_len", 360), lang_embeddings
+                ),
+                num_sequences=lh.get("num_sequences", 128),
+                every_n_epochs=lh.get("every_n_epochs", 1),
+                start_epoch=lh.get("start_epoch", 1),
+            )
+        )
+    ro = cb_cfg.get("rollout")
+    if ro:
+        env_factory = make_env_factory(ro.get("env", "calvin"), ro.get("dataset_path"))
+        cbs.append(
+            RolloutCallback(
+                env_factory=env_factory,
+                rollout_fn_factory=make_policy_rollout_fn_factory(
+                    cfg, ro.get("ep_len", 120), lang_embeddings
+                ),
+                rollouts_per_task=ro.get("rollouts_per_task", 10),
+                every_n_epochs=ro.get("every_n_epochs", 5),
+                start_epoch=ro.get("start_epoch", 1),
+            )
+        )
+    if cb_cfg.get("tsne_plot"):
+        cbs.append(TSNEPlotCallback(run_dir, every_n_epochs=cb_cfg["tsne_plot"].get("every_n_epochs", 10)))
+    return cbs

@@ -49,7 +49,10 @@ def train(config_name: str = "cfg_low_level", overrides=(), max_epochs=None, max
         process_count=mesh_lib.process_count(),
     )
     dm.setup()
-    trainer = Trainer(cfg, dm, run_dir)
+    from hulc2_tpu.train.callback_factory import build_callbacks
+
+    callbacks = build_callbacks(cfg, run_dir)
+    trainer = Trainer(cfg, dm, run_dir, callbacks=callbacks)
     return trainer.fit(max_epochs=max_epochs, max_steps=max_steps)
 
 
