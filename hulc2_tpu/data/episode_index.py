@@ -138,12 +138,15 @@ def build_vision_index(
     min_window_size: int,
     max_window_size: int,
     data_percent: float = 1.0,
+    skip_frames: int = 1,
 ) -> EpisodeIndex:
+    """``skip_frames > 1`` keeps every k-th window start (the reference's
+    ShmDatasetSkip role, hulc2/datasets/shm_dataset_skip.py:21)."""
     ep_ids = apply_data_percent(load_ep_start_end_ids(data_dir, split), data_percent if split == "training" else 1.0)
     lookup = []
     for start, end in ep_ids:
         assert end > max_window_size, (start, end)
-        lookup.extend(range(int(start), int(end) + 1 - min_window_size))
+        lookup.extend(range(int(start), int(end) + 1 - min_window_size, max(skip_frames, 1)))
     return EpisodeIndex(
         episode_lookup=np.asarray(lookup, np.int64),
         min_window_size=min_window_size,

@@ -160,3 +160,31 @@ class TestDataset:
             np.testing.assert_allclose(
                 np.asarray(shifted[b, r, c]), np.asarray(imgs[b, 16, 16]), atol=1e-6
             )
+
+
+class TestMaskLosses:
+    def test_dice_and_miou_perfect(self):
+        from hulc2_tpu.affordance import losses
+
+        mask = jnp.zeros((2, 8, 8)).at[:, 2:4, 2:4].set(1.0)
+        logits = (mask * 2 - 1) * 20.0  # saturated correct prediction
+        loss, metrics = losses.mask_criterion(logits.reshape(2, -1), mask)
+        assert float(metrics["miou"]) > 0.99
+        assert float(metrics["dice_loss"]) < 0.01
+        assert float(loss) < 0.01
+
+    def test_mask_bce_gradient(self):
+        from hulc2_tpu.affordance import losses
+
+        mask = jnp.zeros((1, 4, 4)).at[0, 1, 1].set(1.0)
+        g = jax.grad(lambda z: losses.mask_criterion(z, mask)[0])(jnp.zeros((1, 16)))
+        assert np.all(np.isfinite(np.asarray(g))) and float(jnp.abs(g).sum()) > 0
+
+    def test_pixel_ce_matches_onehot(self):
+        from hulc2_tpu.affordance import losses
+
+        logits = jnp.asarray(np.random.RandomState(0).randn(3, 25), jnp.float32)
+        target = jnp.zeros((3, 25)).at[jnp.arange(3), jnp.asarray([3, 7, 11])].set(1.0)
+        ce = losses.pixel_cross_entropy(logits, target)
+        expected = -jnp.mean(jax.nn.log_softmax(logits, -1)[jnp.arange(3), jnp.asarray([3, 7, 11])])
+        np.testing.assert_allclose(float(ce), float(expected), rtol=1e-6)

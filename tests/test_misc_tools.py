@@ -88,3 +88,28 @@ class TestCallbackFactory:
         env.reset()
         ok = rollout_fn(env, "open_drawer")
         assert ok in (True, False)  # ran policy steps without error
+
+
+class TestPretrain:
+    def test_merge_with_pos_embedding_truncation(self):
+        import jax.numpy as jnp
+        from hulc2_tpu.utils.pretrain import merge_pretrained_params
+
+        init = {"params": {"a": jnp.zeros((4, 4)),
+                           "pr": {"position_embeddings": jnp.zeros((8, 16))},
+                           "b": jnp.zeros((3,))}}
+        pre = {"params": {"a": jnp.ones((4, 4)),
+                          "pr": {"position_embeddings": jnp.full((32, 16), 2.0)},
+                          "b": jnp.ones((5,))}}  # mismatched -> keep init
+        merged = merge_pretrained_params(init, pre)
+        assert float(np.asarray(merged["params"]["a"]).sum()) == 16
+        assert np.asarray(merged["params"]["pr"]["position_embeddings"]).shape == (8, 16)
+        assert float(np.asarray(merged["params"]["pr"]["position_embeddings"])[0, 0]) == 2.0
+        assert float(np.asarray(merged["params"]["b"]).sum()) == 0  # kept init
+
+    def test_get_portion_of_batch_ids(self):
+        from hulc2_tpu.utils.pretrain import get_portion_of_batch_ids
+
+        np.testing.assert_array_equal(get_portion_of_batch_ids(0.5, 8), [0, 2, 4, 6])
+        np.testing.assert_array_equal(get_portion_of_batch_ids(1.0, 3), [0, 1, 2])
+        assert len(get_portion_of_batch_ids(0.0, 8)) == 0
