@@ -75,6 +75,36 @@ def make_val_step(model: Hulc2, transforms: Dict[str, Callable]) -> Callable:
     return jax.jit(step_fn)
 
 
+def make_plan_sampler(model: Hulc2, transforms: Dict[str, Callable]) -> Callable:
+    """Jitted fn(params, raw_batch, key) -> (plans (B_total, P), modality ids)
+    for plan-space diagnostics (t-SNE; reference: visualization/tsne_plot.py)."""
+
+    def sample_fn(params, raw_batch: Dict, root_key: jax.Array):
+        key = jax.random.fold_in(root_key, 0)
+        batch = {mod: transforms[mod](prng.stream(key, mod), raw_batch[mod]) for mod in raw_batch}
+
+        def encode(mod_batch, mod_id):
+            emb = model.apply(
+                params, mod_batch["rgb_obs"], mod_batch["depth_obs"], mod_batch["robot_obs"],
+                method=Hulc2.encode,
+            )
+            pr_state, _ = model.apply(
+                params, emb, rngs={"dropout": key},
+                method=lambda m, e: m.plan_recognition(e, deterministic=True),
+            )
+            plan = model.dist.sample(prng.stream(key, f"plan_{mod_id}"), pr_state)
+            return plan
+
+        plans, labels = [], []
+        for i, mod in enumerate(sorted(raw_batch)):
+            p = encode(batch[mod], i)
+            plans.append(p)
+            labels.append(jnp.full((p.shape[0],), i, jnp.int32))
+        return jnp.concatenate(plans), jnp.concatenate(labels)
+
+    return jax.jit(sample_fn)
+
+
 def make_policy_step(model: Hulc2) -> Callable:
     """Jitted rollout step: fn(params, obs, goal, carry, key) -> (action, carry)."""
 

@@ -164,6 +164,18 @@ class Trainer:
             if val_metrics:
                 mlog.log(val_metrics, int(state.step), prefix="val/")
 
+            # plan-space diagnostics for t-SNE callbacks
+            recorders = [cb for cb in self.callbacks if hasattr(cb, "record")]
+            if recorders and self.model.use_plan:
+                from hulc2_tpu.train.steps import make_plan_sampler
+
+                if not hasattr(self, "_plan_sampler"):
+                    self._plan_sampler = make_plan_sampler(self.model, self._build_transforms(False))
+                raw = jax.tree_util.tree_map(jnp.asarray, next(iter(self.dm.val_iter())))
+                plans, labels = self._plan_sampler(state.params, raw, root_key)
+                for cb in recorders:
+                    cb.record(np.asarray(plans), np.asarray(labels))
+
             # ---- checkpoint + callbacks ----
             if is_main or mesh_lib.process_count() > 1:
                 ckpt.save(int(state.step), state, {**val_metrics})
