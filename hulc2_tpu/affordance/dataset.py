@@ -46,7 +46,9 @@ class AffordanceDataset:
         data_percent: float = 1.0,
         episodes_file: str = "episodes_split.json",
         lang_embedder=None,  # optional callable str -> (E,) embedding
+        label_type: str = "pixel",  # "pixel" | "mask" (reference mask_label.py)
     ):
+        self.label_type = label_type
         self.data_dir = Path(data_dir)
         self.split = split
         self.cam = cam
@@ -84,6 +86,20 @@ class AffordanceDataset:
             "normalized_depth": np.float32(self.depth_norm.normalize(depth)),
             "idx": np.int64(idx),
         }
+        if self.label_type == "mask":
+            with np.load(path, allow_pickle=True) as z:
+                if "mask" in z.files:
+                    mask = np.asarray(z["mask"], np.float32)
+                else:  # synthesize a disc mask around the labeled pixel
+                    mask = np.zeros(frame.shape[:2], np.float32)
+                    r, c = centers[0, 1:]
+                    yy, xx = np.ogrid[: mask.shape[0], : mask.shape[1]]
+                    mask[(yy - r) ** 2 + (xx - c) ** 2 <= (mask.shape[0] // 20) ** 2] = 1.0
+            if mask.shape != (self.img_resize, self.img_resize):  # nearest resize
+                ri = (np.arange(self.img_resize) * mask.shape[0] / self.img_resize).astype(int)
+                ci = (np.arange(self.img_resize) * mask.shape[1] / self.img_resize).astype(int)
+                mask = mask[np.ix_(ri, ci)]
+            out["mask"] = mask
         if self.lang_embedder is not None:
             out["lang"] = np.asarray(self.lang_embedder(lang_ann), np.float32)
         else:

@@ -100,6 +100,34 @@ class AffordanceDetector(nn.Module):
         metrics["total_loss"] = total
         return total, metrics
 
+    def compute_mask_loss(
+        self,
+        out: AffordanceOutput,
+        mask: jnp.ndarray,  # (B, H, W) binary interaction mask
+        target_depth: Optional[jnp.ndarray] = None,
+        loss_weights: Dict[str, float] = {"aff": 0.1, "depth": 0.9},
+    ):
+        """Mask-label variant (reference: one_stream_attention_lang_fusion_
+        mask.py + datasets/mask_label.py): BCE+dice over the sigmoid mask,
+        plus the depth term."""
+        from hulc2_tpu.affordance.losses import mask_criterion
+
+        aff_loss, metrics = mask_criterion(out.aff_logits, mask)
+        total = loss_weights["aff"] * aff_loss
+        if out.depth_pred is not None and target_depth is not None:
+            from hulc2_tpu.affordance.depth_heads import GaussianDepthHead, logistic_depth_loss
+
+            d = target_depth.reshape(-1, 1)
+            depth_loss = (
+                GaussianDepthHead.loss(out.depth_pred, d)
+                if self.depth_dist == "gaussian"
+                else logistic_depth_loss(out.depth_pred, d, self.normalize_depth)
+            )
+            total = total + loss_weights["depth"] * depth_loss
+            metrics["depth_loss"] = depth_loss
+        metrics["total_loss"] = total
+        return total, metrics
+
     def predict_from_output(self, rng: jax.Array, out: AffordanceOutput, depth_norm: Optional[DepthNorm]):
         """argmax pixel + sampled depth + normalized heatmap (all on device)."""
         h, w = out.hw

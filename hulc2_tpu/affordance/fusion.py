@@ -141,3 +141,38 @@ FUSERS = {
     "word_attention": FusionWordAttention,
     "cross_modal_2d": CrossModalAttention2d,
 }
+
+
+class FusionMultWord(FusionBase):
+    """Multiply by the mask-averaged word embeddings
+    (reference: fusion.py:167-185 — the per-word loop reduces to a masked
+    mean, vectorized here). ``x2`` is (B, T, E) word embeddings."""
+
+    @nn.compact
+    def __call__(self, x1, x2, lang_proj=None, mask=None):
+        words = self.project(x2, lang_proj)  # (B, T, C)
+        if mask is None:
+            mean = jnp.mean(words, axis=1)
+        else:
+            m = mask.astype(words.dtype)[..., None]
+            mean = jnp.sum(words * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1.0)
+        return x1 * _tile(x1, mean)
+
+
+class FusionSentenceAttention(FusionBase):
+    """Pixels attend to the sentence embedding: per-pixel scaled-dot scores
+    softmaxed over the spatial map reweight the features
+    (reference: fusion.py:214-233)."""
+
+    @nn.compact
+    def __call__(self, x1, x2, lang_proj=None):
+        e = self.project(x2, lang_proj)  # (B, C)
+        b, h, w, c = x1.shape
+        flat = x1.reshape(b, h * w, c)
+        score = jnp.einsum("bpc,bc->bp", flat, e) / jnp.sqrt(c)
+        attn = jax.nn.softmax(score, axis=-1)[..., None]
+        return (flat * attn).reshape(b, h, w, c)
+
+
+FUSERS["mult_word"] = FusionMultWord
+FUSERS["sentence_attention"] = FusionSentenceAttention

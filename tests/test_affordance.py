@@ -188,3 +188,31 @@ class TestMaskLosses:
         ce = losses.pixel_cross_entropy(logits, target)
         expected = -jnp.mean(jax.nn.log_softmax(logits, -1)[jnp.arange(3), jnp.asarray([3, 7, 11])])
         np.testing.assert_allclose(float(ce), float(expected), rtol=1e-6)
+
+
+class TestMaskVariant:
+    def test_detector_mask_loss(self):
+        model = AffordanceDetector(decoder_channels=(16, 8, 8, 8, 8), lang_embed_dim=32,
+                                   depth_dist="gaussian")
+        img = jnp.zeros((2, 64, 64, 3))
+        lang = jnp.zeros((2, 32))
+        v = model.init(jax.random.PRNGKey(0), img, lang, False)
+        out = model.apply(v, img, lang, False)
+        mask = jnp.zeros((2, 64, 64)).at[:, 10:20, 10:20].set(1.0)
+        total, metrics = model.compute_mask_loss(out, mask, jnp.asarray([0.1, 0.2]))
+        assert np.isfinite(float(total))
+        assert "miou" in metrics and "depth_loss" in metrics
+
+    def test_dataset_mask_mode(self, tmp_path):
+        rng = np.random.default_rng(0)
+        d = tmp_path / "ep0" / "data" / "static_cam"
+        d.mkdir(parents=True)
+        np.savez(d / "f0.npz", frame=rng.integers(0, 256, (64, 64, 3), np.uint8),
+                 centers=np.array([[0, 32, 32]]), depth=np.float32(1.0), lang_ann="x")
+        info = {"training": {"ep0": {"static_cam": ["f0"]}}, "validation": {},
+                "norm_values": {"depth": {"static_cam": {"mean": 0, "std": 1}}}}
+        (tmp_path / "episodes_split.json").write_text(json.dumps(info))
+        ds = AffordanceDataset(tmp_path, "training", img_resize=64, label_type="mask",
+                               lang_embedder=lambda s: np.zeros(8, np.float32))
+        s = ds[0]
+        assert s["mask"].shape == (64, 64) and s["mask"].sum() > 0

@@ -126,3 +126,33 @@ class TestRealWorldPath:
         s.workspace = {"low": np.zeros(3), "high": np.ones(3)}
         clipped = np.clip(np.asarray([2.0, -1.0, 0.5]), s.workspace["low"], s.workspace["high"])
         np.testing.assert_array_equal(clipped, [1.0, 0.0, 0.5])
+
+
+class TestFlowlib:
+    def test_flow_color_coding(self):
+        from hulc2_tpu.utils.flowlib import flow_to_color, make_color_wheel
+
+        assert make_color_wheel().shape == (55, 3)
+        flow = np.zeros((8, 8, 2))
+        flow[:4, :, 0] = 1.0   # rightward
+        flow[4:, :, 1] = -1.0  # upward
+        img = flow_to_color(flow)
+        assert img.shape == (8, 8, 3) and img.dtype == np.uint8
+        # different directions -> different colors
+        assert not np.array_equal(img[0, 0], img[7, 0])
+
+
+class TestNewFusers:
+    def test_mult_word_and_sentence_attention(self):
+        import jax
+        import jax.numpy as jnp
+
+        from hulc2_tpu.affordance.fusion import FUSERS
+
+        x1 = jnp.ones((2, 4, 4, 8))
+        words = jnp.ones((2, 5, 8))
+        y, _ = FUSERS["mult_word"]().init_with_output(jax.random.PRNGKey(0), x1, words)
+        assert y.shape == x1.shape
+        sent = jnp.ones((2, 8))
+        y2, _ = FUSERS["sentence_attention"]().init_with_output(jax.random.PRNGKey(0), x1, sent)
+        assert y2.shape == x1.shape
