@@ -8,7 +8,8 @@ Counterpart of the reference PlayLMPAgent / AffHULCAgent
   predicted pixel is > 15 px from the TCP (lmp_agent.py:195-235); then reset
   the policy carry.
 - ``step(obs, goal)``: transform raw env obs on device and run ONE jitted
-  policy step (replan cadence handled inside the jit via lax.cond) — the
+  policy step (per-env replan cadence handled inside the jit via a
+  branchless masked select) — the
   reference's tensor round-trips (lmp_agent.py:253-288) collapse into a
   single dispatch. Works for a batch of N lockstep envs as-is.
 
@@ -63,6 +64,18 @@ class Hulc2Agent(BaseAgent):
         self._key = jax.random.PRNGKey(seed)
         self._step_idx = 0
         self.carry: PolicyCarry = model.init_carry(n_envs)
+
+    def reset_env_slot(self, i: int) -> None:
+        """Reset one env's slice of the batched carry (fresh plan + hidden;
+        step counter 0 so the next step replans). Used by the batched
+        evaluator when env i starts a new subtask."""
+        c = self.carry
+        self.carry = PolicyCarry(
+            plan=c.plan.at[i].set(0.0),
+            latent_goal=c.latent_goal.at[i].set(0.0),
+            hidden=jax.tree_util.tree_map(lambda h: h.at[:, i].set(0.0), c.hidden),
+            step=c.step.at[i].set(0),
+        )
 
     # ------------------------------------------------------------------ #
     def reset(self, caption: Optional[str] = None) -> None:

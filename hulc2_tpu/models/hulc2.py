@@ -306,34 +306,32 @@ class Hulc2(nn.Module):
         stateful RNN. Observations are single-frame: (B, 1, H, W, C).
         ``goal`` holds either {"lang": (B, E)} embeddings or
         {"visual": per-camera goal images + "robot_obs"} for visual goals.
+
+        Replanning is a branchless PER-ENV masked select (envs in a batched
+        farm reset/replan at different steps), so the whole batched rollout
+        stays one jitted program with no data-dependent control flow.
         """
         emb = self.encode(rgb_obs, depth_obs, robot_obs, deterministic=True)
 
-        def replan(_):
-            if "lang" in goal:
-                latent_goal = self.language_goal(goal["lang"], deterministic=True)
-                emb0 = emb
-            else:
-                # visual goal: append goal frame, embed, take last
-                g_rgb = {k: goal["rgb_obs"][k] for k in rgb_obs}
-                g_depth = {k: goal["depth_obs"][k] for k in depth_obs}
-                g_emb = self.encode(g_rgb, g_depth, goal.get("robot_obs"), deterministic=True)
-                latent_goal = self.visual_goal(g_emb[:, -1], deterministic=True)
-                emb0 = emb
-            pp_state = self.plan_proposal(emb0[:, 0], latent_goal)
-            plan = (
-                self.dist.sample(self.make_rng("sample"), pp_state)
-                if self.use_plan
-                else carry.plan
-            )
-            fresh = jax.tree_util.tree_map(jnp.zeros_like, carry.hidden)
-            return plan.astype(carry.plan.dtype), latent_goal.astype(carry.latent_goal.dtype), fresh
+        if "lang" in goal:
+            latent_goal = self.language_goal(goal["lang"], deterministic=True)
+        else:
+            g_rgb = {k: goal["rgb_obs"][k] for k in rgb_obs}
+            g_depth = {k: goal["depth_obs"][k] for k in depth_obs}
+            g_emb = self.encode(g_rgb, g_depth, goal.get("robot_obs"), deterministic=True)
+            latent_goal = self.visual_goal(g_emb[:, -1], deterministic=True)
+        pp_state = self.plan_proposal(emb[:, 0], latent_goal)
+        new_plan = (
+            self.dist.sample(self.make_rng("sample"), pp_state) if self.use_plan else carry.plan
+        )
 
-        def keep(_):
-            return carry.plan, carry.latent_goal, carry.hidden
-
-        do_replan = (carry.step[0] % self.replan_freq) == 0
-        plan, latent_goal, hidden = jax.lax.cond(do_replan, replan, keep, None)
+        replan_mask = (carry.step % self.replan_freq) == 0  # (B,)
+        m = replan_mask[:, None]
+        plan = jnp.where(m, new_plan.astype(carry.plan.dtype), carry.plan)
+        latent_goal = jnp.where(m, latent_goal.astype(carry.latent_goal.dtype), carry.latent_goal)
+        hidden = jax.tree_util.tree_map(
+            lambda h: jnp.where(replan_mask[None, :, None], jnp.zeros_like(h), h), carry.hidden
+        )
 
         dec = self.action_decoder
         h0 = hidden
