@@ -104,17 +104,20 @@ class Hulc2Agent(BaseAgent):
 
     # ------------------------------------------------------------------ #
     def _obs_to_device(self, obs: Dict) -> Dict:
-        """Raw env obs (single env or stacked batch) -> (B, 1, ...) arrays."""
+        """Raw env obs (single env or a stacked EnvFarm batch) -> (B, 1, ...)
+        arrays. ``base_ndim`` is the rank of one env's array — a leading env
+        axis is added only when absent."""
 
-        def batch(x):
+        def batch(x, base_ndim):
             a = np.asarray(x)
-            if self.n_envs == 1:
+            if a.ndim == base_ndim:  # unbatched single-env obs
                 a = a[None]
+            assert a.shape[0] == self.n_envs, (a.shape, self.n_envs)
             return jnp.asarray(a[:, None])  # (B, 1, ...)
 
-        raw = {cam: batch(v) for cam, v in obs["rgb_obs"].items()}
-        raw.update({cam: batch(v) for cam, v in obs.get("depth_obs", {}).items()})
-        raw["robot_obs_raw"] = batch(obs["robot_obs"]).astype(jnp.float32)
+        raw = {cam: batch(v, 3) for cam, v in obs["rgb_obs"].items()}
+        raw.update({cam: batch(v, 2) for cam, v in obs.get("depth_obs", {}).items()})
+        raw["robot_obs_raw"] = batch(obs["robot_obs"], 1).astype(jnp.float32)
         raw["actions"] = jnp.zeros((self.n_envs, 1, 7), jnp.float32)  # unused by transform consumers
         return raw
 

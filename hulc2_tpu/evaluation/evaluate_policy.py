@@ -77,6 +77,17 @@ def main(argv=None):
     from hulc2_tpu.envs.task_oracle import SceneObsTaskOracle
     from hulc2_tpu.evaluation.loading import load_policy
 
+    if args.all_checkpoints:
+        from hulc2_tpu.evaluation.run_multiple import list_checkpoints, main as run_all
+
+        argv_rest = ["--train-dir", args.train_dir, "--num-sequences", str(args.num_sequences),
+                     "--ep-len", str(args.ep_len)]
+        if args.dataset_path:
+            argv_rest += ["--dataset-path", args.dataset_path]
+        if args.fake_env:
+            argv_rest += ["--fake-env"]
+        return run_all(argv_rest)
+
     t0 = time.time()
     model, params, cfg = load_policy(args.train_dir, args.checkpoint)
     log_dir = Path(args.log_dir or (Path(args.train_dir) / "evaluation"))
