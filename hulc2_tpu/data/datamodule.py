@@ -87,7 +87,14 @@ class Hulc2DataModule:
         )
 
     def train_loaders(self):
-        return self._loader("vis", "training", True), self._loader("lang", "training", True)
+        # persistent loaders: BatchLoader increments its epoch counter per
+        # __iter__, so each epoch gets a fresh shuffle
+        if not hasattr(self, "_train_loaders"):
+            self._train_loaders = (
+                self._loader("vis", "training", True),
+                self._loader("lang", "training", True),
+            )
+        return self._train_loaders
 
     def val_loaders(self):
         shuffle = self.cfg.get("shuffle_val", False)
@@ -134,7 +141,9 @@ class RandomDataModule:
         return self._loader("vis", "validation", False), self._loader("lang", "validation", False)
 
     def train_iter(self):
-        return zip_modalities(*self.train_loaders())
+        if not hasattr(self, "_train_loaders"):
+            self._train_loaders = self.train_loaders()
+        return zip_modalities(*self._train_loaders)
 
     def val_iter(self):
         return zip_modalities(*self.val_loaders())

@@ -229,3 +229,34 @@ class TestLoaderAndTransforms:
         batch = next(iter(dm.train_iter()))
         assert batch["vis"]["rgb_static"].shape[0] == 2
         assert batch["lang"]["lang"].shape == (2, 384)
+
+
+class TestEpochShuffling:
+    def test_fresh_shuffle_each_epoch(self):
+        """Persistent loaders must produce a different batch order per epoch
+        (regression: recreating loaders reset the epoch counter)."""
+        ds = [{"idx": np.int64(i), "x": np.float32(i)} for i in range(32)]
+
+        class ListDS:
+            def __len__(self):
+                return len(ds)
+
+            def __getitem__(self, i):
+                return ds[i]
+
+        loader = BatchLoader(ListDS(), batch_size=8, shuffle=True, seed=0, num_threads=1)
+        e0 = [tuple(b["idx"].tolist()) for b in loader]
+        e1 = [tuple(b["idx"].tolist()) for b in loader]
+        assert e0 != e1
+        # and deterministic given (seed, epoch)
+        loader2 = BatchLoader(ListDS(), batch_size=8, shuffle=True, seed=0, num_threads=1)
+        assert [tuple(b["idx"].tolist()) for b in loader2] == e0
+
+    def test_datamodule_persistent_train_loaders(self):
+        dm = RandomDataModule(
+            {"max_window_size": 4, "batch_size_vis": 4, "batch_size_lang": 4}, n_samples=16
+        )
+        dm.setup()
+        b0 = [b["vis"]["idx"].tolist() for b in dm.train_iter()]
+        b1 = [b["vis"]["idx"].tolist() for b in dm.train_iter()]
+        assert b0 != b1
