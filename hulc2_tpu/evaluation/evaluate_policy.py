@@ -72,6 +72,8 @@ def main(argv=None):
     p.add_argument("--log-dir", default=None)
     p.add_argument("--fake-env", action="store_true", help="symbolic smoke mode (no simulator)")
     p.add_argument("--lang-folder", default="lang_annotations")
+    p.add_argument("--n-envs", type=int, default=1,
+                   help="lockstep env instances per policy dispatch (batched eval)")
     args = p.parse_args(argv)
 
     from hulc2_tpu.envs.task_oracle import SceneObsTaskOracle
@@ -122,9 +124,25 @@ def main(argv=None):
 
         if args.dataset_path is None:
             p.error("--dataset-path is required without --fake-env")
-        env = CalvinEnvWrapper(make_calvin_env(args.dataset_path, show_gui=False))
         stats = load_statistics(Path(args.dataset_path) / "training")
         lang_embeddings, task_to_ann = load_lang_embeddings(args.dataset_path, args.lang_folder)
+        if args.n_envs > 1:
+            from hulc2_tpu.envs.calvin_wrapper import EnvFarm
+            from hulc2_tpu.evaluation.batched_eval import BatchedEvaluator
+
+            farm = EnvFarm([
+                CalvinEnvWrapper(make_calvin_env(args.dataset_path, show_gui=False))
+                for _ in range(args.n_envs)
+            ])
+            agent = Hulc2Agent(farm, model, params, cfg["datamodule"], stats, n_envs=args.n_envs)
+            ann_to_emb = {task: lang_embeddings[ann] for task, ann in task_to_ann.items()}
+            ev = BatchedEvaluator(farm, agent, ann_to_emb, ep_len=args.ep_len, oracle=oracle)
+            results = ev.evaluate(sequences=sequences)
+            step = args.checkpoint if args.checkpoint is not None else "latest"
+            merged = harness.print_and_save({str(step): results}, log_dir, sequences=sequences)
+            logger.info("evaluation wall-clock: %.1f s", time.time() - t0)
+            return merged
+        env = CalvinEnvWrapper(make_calvin_env(args.dataset_path, show_gui=False))
         agent = Hulc2Agent(env, model, params, cfg["datamodule"], stats)
         rollout_fn = make_policy_rollout_fn(agent, oracle, task_to_ann, lang_embeddings, args.ep_len)
 

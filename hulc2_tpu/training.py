@@ -30,7 +30,7 @@ def make_run_dir(log_dir: str, overrides) -> Path:
 
 
 def train(config_name: str = "cfg_low_level", overrides=(), max_epochs=None, max_steps=None,
-          synthetic: bool = False, run_dir=None):
+          synthetic: bool = False, run_dir=None, use_shm_cache: bool = False):
     import hulc2_tpu.configs  # noqa: F401
     from hulc2_tpu.core import config as cfg_lib
     from hulc2_tpu.data.datamodule import Hulc2DataModule, RandomDataModule
@@ -45,6 +45,7 @@ def train(config_name: str = "cfg_low_level", overrides=(), max_epochs=None, max
     dm = dm_cls(
         cfg["datamodule"],
         seed=cfg.get("seed", 42),
+        use_shm_cache=use_shm_cache,
         process_index=mesh_lib.process_index(),
         process_count=mesh_lib.process_count(),
     )
@@ -63,9 +64,12 @@ def main(argv=None):
     parser.add_argument("--max-steps", type=int, default=None)
     parser.add_argument("--run-dir", default=None)
     parser.add_argument("--synthetic", action="store_true", help="random-tensor datamodule (smoke test)")
+    parser.add_argument("--shm-cache", action="store_true",
+                        help="preload the dataset into a shared-memory RAM cache")
     parser.add_argument("overrides", nargs="*", help="key=value / group=option overrides")
     args = parser.parse_args(argv)
-    train(args.config_name, args.overrides, args.max_epochs, args.max_steps, args.synthetic, args.run_dir)
+    train(args.config_name, args.overrides, args.max_epochs, args.max_steps, args.synthetic,
+          args.run_dir, use_shm_cache=args.shm_cache)
 
 
 if __name__ == "__main__":
