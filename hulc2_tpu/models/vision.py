@@ -22,7 +22,17 @@ import jax
 import jax.numpy as jnp
 
 from hulc2_tpu.models.layers import Conv, Dense, get_activation
+from hulc2_tpu.ops.space_to_depth import space_to_depth
 from hulc2_tpu.ops.spatial import spatial_softmax
+
+
+def _stem_conv(x, features: int, dtype, name: str):
+    """8x8-stride-4 stem conv, reparametrized as space-to-depth + 2x2 conv
+    when the input is 4-divisible (exactly equivalent; ~10x better MXU
+    utilization on 3-channel images — see ops/space_to_depth.py)."""
+    if x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0:
+        return Conv(features, (2, 2), (1, 1), dtype=dtype, name=name)(space_to_depth(x, 4))
+    return Conv(features, (8, 8), (4, 4), dtype=dtype, name=name)(x)
 
 
 def _l2_normalize(x, axis=-1, eps=1e-12):
@@ -44,7 +54,7 @@ class VisionNetwork(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         act = get_activation(self.activation_function)
-        x = act(Conv(32, (8, 8), (4, 4), dtype=self.dtype, name="conv0")(x))
+        x = act(_stem_conv(x, 32, self.dtype, "conv0"))
         x = act(Conv(64, (4, 4), (2, 2), dtype=self.dtype, name="conv1")(x))
         x = act(Conv(64, (3, 3), (1, 1), dtype=self.dtype, name="conv2")(x))
         if self.spatial_softmax_temp is None:
@@ -71,7 +81,7 @@ class NatureCNN(nn.Module):
     @nn.compact
     def __call__(self, x):
         act = get_activation(self.activation_function)
-        x = act(Conv(32, (8, 8), (4, 4), dtype=self.dtype, name="conv0")(x))
+        x = act(_stem_conv(x, 32, self.dtype, "conv0"))
         x = act(Conv(64, (4, 4), (2, 2), dtype=self.dtype, name="conv1")(x))
         x = act(Conv(64, (3, 3), (1, 1), dtype=self.dtype, name="conv2")(x))
         # torch flattens NCHW (C,H,W); transpose so converted weights line up

@@ -90,11 +90,21 @@ def transformer_encoder_layer(sd: Mapping, prefix: str) -> Dict[str, Any]:
 # --------------------------------------------------------------------------- #
 # reference-model specific converters                                          #
 # --------------------------------------------------------------------------- #
+def _stem_conv2d(sd: Mapping, prefix: str) -> Dict[str, Any]:
+    """8x8s4 stem kernel, packed for the space-to-depth stem (see
+    hulc2_tpu/ops/space_to_depth.py)."""
+    from hulc2_tpu.ops.space_to_depth import pack_conv_kernel
+
+    raw = conv2d(sd, prefix)
+    raw["conv"]["kernel"] = pack_conv_kernel(raw["conv"]["kernel"], 4)
+    return raw
+
+
 def vision_network(sd: Mapping, prefix: str) -> Dict[str, Any]:
     """reference VisionNetwork (vision_network.py:11): conv_model.{0,2,4},
     fc1.0, fc2, ln (+ spatial_softmax.temperature when learnable)."""
     out = {
-        "conv0": conv2d(sd, f"{prefix}.conv_model.0"),
+        "conv0": _stem_conv2d(sd, f"{prefix}.conv_model.0"),
         "conv1": conv2d(sd, f"{prefix}.conv_model.2"),
         "conv2": conv2d(sd, f"{prefix}.conv_model.4"),
         "fc1": linear(sd, f"{prefix}.fc1.0"),
@@ -111,7 +121,7 @@ def vision_network_gripper(sd: Mapping, prefix: str, conv_encoder: str = "nature
     Sequential trunk indexes convs at 0/2/4(/6) and the linear after Flatten."""
     if conv_encoder == "nature_cnn":
         trunk = {
-            "conv0": conv2d(sd, f"{prefix}.conv_model.0"),
+            "conv0": _stem_conv2d(sd, f"{prefix}.conv_model.0"),
             "conv1": conv2d(sd, f"{prefix}.conv_model.2"),
             "conv2": conv2d(sd, f"{prefix}.conv_model.4"),
             "fc": linear(sd, f"{prefix}.conv_model.7"),
