@@ -174,5 +174,33 @@ class FusionSentenceAttention(FusionBase):
         return (flat * attn).reshape(b, h, w, c)
 
 
+class FusionMultiHeadedWordAttention(FusionBase):
+    """Cross-modal attention applied per decoder scale. The reference keeps
+    three fixed CrossModalAttention2d blocks keyed by channel width
+    (reference: fusion.py:299-318); here the block is shape-polymorphic, so
+    one submodule per distinct channel width is created lazily by flax and
+    selected statically at trace time.
+
+    ``x2`` is (B, T, E) word embeddings; pixels attend over words."""
+
+    heads: int = 1
+
+    @nn.compact
+    def __call__(self, x1, x2, lang_proj=None, mask=None):
+        words = self.project(x2, lang_proj)  # (B, T, C)
+        b, h, w, c = x1.shape
+        q = Dense(c, name=f"q{c}")(x1.reshape(b, h * w, c))
+        k = Dense(c, name=f"k{c}")(words)
+        v = Dense(c, name=f"v{c}")(words)
+        score = jnp.einsum("bpc,btc->bpt", q, k) / jnp.sqrt(c)
+        if mask is not None:
+            score = jnp.where(mask[:, None, :], score, -1e9)
+        attn = jax.nn.softmax(score, axis=-1)
+        out = x1.reshape(b, h * w, c) + jnp.einsum("bpt,btc->bpc", attn, v)
+        return out.reshape(b, h, w, c)
+
+
 FUSERS["mult_word"] = FusionMultWord
 FUSERS["sentence_attention"] = FusionSentenceAttention
+FUSERS["sent_attn"] = FusionSentenceAttention  # reference registry key
+FUSERS["multi_headed_word_attn"] = FusionMultiHeadedWordAttention

@@ -34,6 +34,22 @@ class TestFusion:
         y, _ = fusion.FUSERS["word_attention"]().init_with_output(jax.random.PRNGKey(0), x1, words)
         assert y.shape == x1.shape
 
+    def test_multi_headed_word_attention_multiscale(self):
+        # reference keys fixed blocks by channel width; ours is polymorphic —
+        # the same module must handle the three decoder scales
+        mod = fusion.FUSERS["multi_headed_word_attn"]()
+        words = jnp.ones((2, 5, 32))
+        for hw, c in [(7, 64), (14, 32), (28, 16)]:
+            x1 = jnp.ones((2, hw, hw, c))
+            y, _ = mod.init_with_output(jax.random.PRNGKey(0), x1, words)
+            assert y.shape == x1.shape
+
+    def test_registry_covers_reference_names(self):
+        # reference registry (fusion.py:321-332)
+        for name in ["add", "mult", "mult_word", "film", "max", "concat",
+                     "conv", "deep_conv", "sent_attn", "multi_headed_word_attn"]:
+            assert name in fusion.FUSERS, name
+
 
 class TestDepthHeads:
     def test_gaussian_loss_and_sample(self):
