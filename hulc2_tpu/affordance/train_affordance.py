@@ -70,7 +70,7 @@ def make_aff_train_step(model, tx, loss_weights, img_hw: int, shift_pad: int):
     return jax.jit(step, donate_argnums=(0, 2))
 
 
-def make_aff_val_step(model, depth_norm, img_hw: int):
+def make_aff_val_step(model, depth_norm, img_hw: int, loss_weights=None):
     import jax
     import jax.numpy as jnp
 
@@ -80,7 +80,10 @@ def make_aff_val_step(model, depth_norm, img_hw: int):
         imgs = resize(batch["frame"].astype(jnp.float32) / 255.0, img_hw, img_hw)
         out = model.apply({"params": params, "batch_stats": batch_stats}, imgs, batch["lang"], False)
         target_depth = batch.get("normalized_depth", batch.get("depth"))
-        total, metrics = model.compute_loss(out, batch["px"], target_depth)
+        total, metrics = model.compute_loss(
+            out, batch["px"], target_depth,
+            **({"loss_weights": loss_weights} if loss_weights else {}),
+        )
         px_pred, depth, _ = model.predict_from_output(key, out, depth_norm)
         metrics["px_dist_err"] = jnp.mean(
             jnp.linalg.norm((px_pred - batch["px"]).astype(jnp.float32), axis=-1)
@@ -139,12 +142,13 @@ def train(overrides=(), max_epochs: Optional[int] = None, max_steps: Optional[in
     opt_state = tx.init(params)
 
     train_step = make_aff_train_step(model, tx, aff_cfg["loss_weights"], img_hw, cfg["rand_shift_pad"])
-    val_step = make_aff_val_step(model, depth_norm, img_hw)
+    val_step = make_aff_val_step(model, depth_norm, img_hw, aff_cfg["loss_weights"])
     ckpt = CheckpointManager(run_dir)
     mlog = MetricsLogger(run_dir)
     key = jax.random.PRNGKey(cfg["seed"])
 
     step_count = 0
+    log_every = int(cfg.get("trainer", {}).get("log_every_n_steps", 20))
     for epoch in range(max_epochs if max_epochs is not None else cfg["max_epochs"]):
         loader = BatchLoader(datasets["training"], cfg["batch_size"], shuffle=True,
                              seed=cfg["seed"] + epoch, num_threads=cfg["num_workers"])
@@ -153,7 +157,7 @@ def train(overrides=(), max_epochs: Optional[int] = None, max_steps: Optional[in
             key, sub = jax.random.split(key)
             params, batch_stats, opt_state, metrics = train_step(params, batch_stats, opt_state, batch, sub)
             step_count += 1
-            if step_count % 20 == 0:
+            if step_count % log_every == 0:
                 mlog.log({k: float(v) for k, v in metrics.items()}, step_count, "train/")
             if max_steps and step_count >= max_steps:
                 break

@@ -47,11 +47,19 @@ class FakeCalvinEnv:
         return self.get_obs()
 
     def step(self, action):
-        # physics-free: integrate the relative EE action into robot_obs
-        a = np.asarray(action, np.float64).reshape(-1)
-        self.robot_obs[:3] += a[:3] * 0.02
-        self.robot_obs[3:6] += a[3:6] * 0.05
-        self.robot_obs[14] = 1.0 if a[-1] > 0 else -1.0
+        # physics-free EE integration. Accepts both calvin_env action formats:
+        # flat 7-d relative [dpos, dorn, gripper], or the (pos, orn, gripper)
+        # absolute tuple emitted by the motion-primitive agents.
+        if isinstance(action, (tuple, list)) and len(action) == 3 and np.ndim(action[0]) >= 1:
+            pos, orn, grip = action
+            self.robot_obs[:3] = np.asarray(pos, np.float64)[:3]
+            self.robot_obs[3:6] = np.asarray(orn, np.float64)[:3]
+            self.robot_obs[14] = 1.0 if float(np.ravel(grip)[0]) > 0 else -1.0
+        else:
+            a = np.asarray(action, np.float64).reshape(-1)
+            self.robot_obs[:3] += a[:3] * 0.02
+            self.robot_obs[3:6] += a[3:6] * 0.05
+            self.robot_obs[14] = 1.0 if a[-1] > 0 else -1.0
         return self.get_obs(), 0.0, False, self.get_info()
 
     def get_info(self) -> Dict:

@@ -232,3 +232,44 @@ class TestMaskVariant:
                                lang_embedder=lambda s: np.zeros(8, np.float32))
         s = ds[0]
         assert s["mask"].shape == (64, 64) and s["mask"].sum() > 0
+
+
+class TestAuxScripts:
+    def _mined_dataset(self, root, eps, mean, std):
+        import numpy as np
+
+        split = {"training": {}, "validation": {},
+                 "norm_values": {"depth": {"static_cam": {"mean": mean, "std": std}}}}
+        for i, ep in enumerate(eps):
+            d = root / ep / "data" / "static_cam"
+            d.mkdir(parents=True)
+            files = []
+            for j in range(3):
+                fn = f"frame_{j:04d}"
+                np.savez(d / f"{fn}.npz", frame=np.zeros((8, 8, 3), np.uint8),
+                         centers=np.array([[0, 4, 4]]), depth=np.float32(2.0),
+                         lang_ann="open the drawer")
+                files.append(fn)
+            split["training" if i == 0 else "validation"][ep] = {"static_cam": files}
+        (root / "episodes_split.json").write_text(json.dumps(split))
+
+    def test_merge_datasets_pools_norms_and_loads(self, tmp_path):
+        from hulc2_tpu.affordance.merge_datasets import merge_datasets
+
+        self._mined_dataset(tmp_path / "srcA", ["episode_0"], 2.0, 0.5)
+        self._mined_dataset(tmp_path / "srcB", ["episode_0", "episode_1"], 3.0, 1.0)
+        m = merge_datasets(tmp_path / "out", [tmp_path / "srcA", tmp_path / "srcB"])
+        assert sorted(m["training"]) == ["srcA_episode_0", "srcB_episode_0"]
+        # srcA: 3 frames N(2, .5); srcB: 6 frames N(3, 1) -> pooled
+        got = m["norm_values"]["depth"]["static_cam"]
+        mean = (3 * 2 + 6 * 3) / 9
+        var = (3 * (0.25 + (2 - mean) ** 2) + 6 * (1 + (3 - mean) ** 2)) / 9
+        assert abs(got["mean"] - mean) < 1e-9 and abs(got["std"] - var ** 0.5) < 1e-9
+        ds = AffordanceDataset(tmp_path / "out", "training", "static", 64)
+        assert len(ds) == 6 and ds[0]["px"].tolist() == [32, 32]  # 2 train eps x 3 frames
+
+    def test_move_to_pt_sanity(self):
+        from hulc2_tpu.affordance.test_move_to_pt import run
+
+        err, ok = run(px=(120, 90), depth=1.8)
+        assert ok, f"TCP err {err} too large"
