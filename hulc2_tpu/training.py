@@ -66,8 +66,16 @@ def main(argv=None):
     parser.add_argument("--synthetic", action="store_true", help="random-tensor datamodule (smoke test)")
     parser.add_argument("--shm-cache", action="store_true",
                         help="preload the dataset into a shared-memory RAM cache")
+    parser.add_argument("--debug-nans", action="store_true",
+                        help="numeric sanitizer: re-run any jitted step that produces "
+                             "NaN un-jitted and raise at the originating op "
+                             "(the reference's NaN asserts, e.g. gripper_control.py:35)")
     parser.add_argument("overrides", nargs="*", help="key=value / group=option overrides")
     args = parser.parse_args(argv)
+    if args.debug_nans:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
     train(args.config_name, args.overrides, args.max_epochs, args.max_steps, args.synthetic,
           args.run_dir, use_shm_cache=args.shm_cache)
 
