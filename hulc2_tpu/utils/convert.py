@@ -170,6 +170,32 @@ def plan_recognition_transformer(sd: Mapping, prefix: str, num_layers: int = 2) 
     return out
 
 
+def plan_recognition_bilstm(sd: Mapping, prefix: str, num_layers: int = 2) -> Dict[str, Any]:
+    """reference PlanRecognitionBiLSTMNetwork (plan_recognition_net.py:12-41):
+    ``birnn_model`` is a 2-layer bidirectional nn.LSTM; my BiLSTM posterior
+    names its directions with torch's ``_reverse`` suffix convention."""
+    return {
+        "bilstm": rnn(sd, f"{prefix}.birnn_model", num_layers, bidirectional=True),
+        "fc_state": linear(sd, f"{prefix}.fc_state.0"),
+    }
+
+
+def plan_recognition_birnn(sd: Mapping, prefix: str, num_layers: int = 2) -> Dict[str, Any]:
+    """reference PlanRecognitionBiRNNNetwork (plan_recognition_net.py:44-74):
+    bidirectional relu nn.RNN; my posterior holds one ReluRNN per layer and
+    direction (fwd{k}/bwd{k}), each a single-layer stack (``*_l0`` params)."""
+    out: Dict[str, Any] = {"fc_state": linear(sd, f"{prefix}.fc_state.0")}
+    for k in range(num_layers):
+        for mine, sfx in ((f"fwd{k}", ""), (f"bwd{k}", "_reverse")):
+            out[mine] = {
+                "w_ih_l0": _t(sd[f"{prefix}.birnn_model.weight_ih_l{k}{sfx}"]).T,
+                "w_hh_l0": _t(sd[f"{prefix}.birnn_model.weight_hh_l{k}{sfx}"]).T,
+                "b_ih_l0": _t(sd[f"{prefix}.birnn_model.bias_ih_l{k}{sfx}"]),
+                "b_hh_l0": _t(sd[f"{prefix}.birnn_model.bias_hh_l{k}{sfx}"]),
+            }
+    return out
+
+
 def goal_encoder(sd: Mapping, prefix: str, has_dropout_front: bool) -> Dict[str, Any]:
     """reference Visual/LanguageGoalEncoder (goal_encoders.py:8,37). The lang
     variant has Dropout at Sequential index 0, shifting Linear indices."""
@@ -229,12 +255,26 @@ def convert_hulc2_checkpoint(state_dict: Mapping, model_cfg: dict) -> Dict[str, 
             pe_cfg["depth_gripper"].get("conv_encoder", "nature_cnn"),
         )
 
+    pr_kind = model_cfg["plan_recognition"].get("kind", "transformers")
+    if pr_kind == "transformers":
+        pr_params = plan_recognition_transformer(
+            sd, "plan_recognition", model_cfg["plan_recognition"].get("num_layers", 2)
+        )
+    elif pr_kind == "bilstm":
+        pr_params = plan_recognition_bilstm(
+            sd, "plan_recognition", model_cfg["plan_recognition"].get("num_layers", 2)
+        )
+    elif pr_kind == "birnn":
+        pr_params = plan_recognition_birnn(
+            sd, "plan_recognition", model_cfg["plan_recognition"].get("num_layers", 2)
+        )
+    else:
+        raise ValueError(pr_kind)
+
     params: Dict[str, Any] = {
         "perceptual_encoder": pe,
         "plan_proposal": plan_proposal(sd, "plan_proposal"),
-        "plan_recognition": plan_recognition_transformer(
-            sd, "plan_recognition", model_cfg["plan_recognition"].get("num_layers", 2)
-        ),
+        "plan_recognition": pr_params,
         "visual_goal": goal_encoder(sd, "visual_goal", has_dropout_front=False),
         "action_decoder": logistic_decoder(
             sd, "action_decoder",

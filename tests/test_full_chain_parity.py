@@ -257,3 +257,35 @@ def test_deterministic_action_mae(chain_outputs):
     # the argmax selections must agree exactly for the comparison to be fair
     assert np.array_equal(np.argmax(ref_out["logit_probs"], -1), np.argmax(my_out["logit_probs"], -1))
     assert mae < 1e-3, f"action MAE {mae}"
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("kind", ["bilstm", "birnn"])
+def test_recurrent_posterior_parity(ref, kind):
+    """The BiLSTM / BiRNN posterior variants, run as the actual reference
+    classes (plan_recognition_net.py:12-74) vs my converted modules."""
+    from hulc2_tpu.models.build import build_plan_recognition
+    from hulc2_tpu.models.distributions import PlanDistribution
+
+    torch.manual_seed(1)
+    dist_t = ref["distributions"].Distribution(dist="discrete", category_size=32, class_size=32)
+    cls = (ref["plan_recognition_net"].PlanRecognitionBiLSTMNetwork if kind == "bilstm"
+           else ref["plan_recognition_net"].PlanRecognitionBiRNNNetwork)
+    net_t = cls(128, 1024, 7, 0.0, dist_t).eval()
+
+    from hulc2_tpu.utils.convert import plan_recognition_bilstm, plan_recognition_birnn
+    sd = {f"plan_recognition.{k}": v for k, v in net_t.state_dict().items()}
+    conv = (plan_recognition_bilstm if kind == "bilstm" else plan_recognition_birnn)(
+        sd, "plan_recognition", 2)
+
+    dist_j = PlanDistribution("discrete", 32, 32)
+    net_j = build_plan_recognition({"kind": kind}, dist_j, None)
+
+    rng = np.random.RandomState(7)
+    emb = rng.rand(B, S, 128).astype(np.float32) * 2 - 1
+    with torch.no_grad():
+        state_t, feat_t = net_t(torch.from_numpy(emb))
+    state_j, feat_j = net_j.apply(
+        {"params": jax.tree_util.tree_map(jnp.asarray, conv)}, jnp.asarray(emb))
+    assert float(np.abs(np.asarray(feat_j) - feat_t.numpy()).mean()) < 1e-3
+    assert float(np.abs(np.asarray(state_j.logit) - state_t.logit.numpy()).mean()) < 1e-3
