@@ -289,3 +289,36 @@ def test_recurrent_posterior_parity(ref, kind):
         {"params": jax.tree_util.tree_map(jnp.asarray, conv)}, jnp.asarray(emb))
     assert float(np.abs(np.asarray(feat_j) - feat_t.numpy()).mean()) < 1e-3
     assert float(np.abs(np.asarray(state_j.logit) - state_t.logit.numpy()).mean()) < 1e-3
+
+
+@pytest.mark.slow
+def test_logistic_loss_vs_reference_impl(stacks, chain_outputs):
+    """My discretized-logistic NLL vs the reference's own ``_loss`` (incl.
+    the discrete-gripper CE term), on the decoder outputs from the chain."""
+    r, _, _ = stacks
+    ref_out, my_out = chain_outputs
+    rng = np.random.RandomState(3)
+    actions = (rng.rand(B, S, 7).astype(np.float32) * 2 - 1)
+    actions[..., -1] = np.where(actions[..., -1] > 0, 1.0, -1.0)
+
+    with torch.no_grad():
+        loss_t = r["action_decoder"]._loss(
+            torch.from_numpy(ref_out["logit_probs"]),
+            torch.from_numpy(ref_out["log_scales"]),
+            torch.from_numpy(ref_out["means"]),
+            torch.from_numpy(ref_out["gripper"]),
+            torch.from_numpy(actions),
+        )
+
+    from hulc2_tpu.ops.logistic import logistic_mixture_loss
+
+    nll = logistic_mixture_loss(
+        jnp.asarray(my_out["logit_probs"]), jnp.asarray(my_out["log_scales"]),
+        jnp.asarray(my_out["means"]), jnp.asarray(actions[..., :-1]),
+        jnp.asarray(-1.0), jnp.asarray(1.0), num_classes=10, log_scale_min=-7.0,
+    )
+    labels = (actions[..., -1] > 0).astype(np.int64).reshape(-1)
+    logits = jnp.asarray(my_out["gripper"]).reshape(-1, 2)
+    ce = -jnp.mean(jax.nn.log_softmax(logits)[jnp.arange(labels.size), labels])
+    total = float(nll + 1.0 * ce)  # gripper_alpha = 1.0
+    assert abs(total - float(loss_t)) < 1e-4, (total, float(loss_t))
