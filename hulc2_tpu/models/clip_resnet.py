@@ -137,9 +137,11 @@ def convert_clip_visual(sd: Dict[str, Any], layers=(3, 4, 6, 3), prefix: str = "
             for ci in (1, 2, 3):
                 blk[f"conv{ci}"] = _conv(sd, f"{tk}.conv{ci}")
                 blk[f"bn{ci}"], blk_stats[f"bn{ci}"] = _bn(sd, f"{tk}.bn{ci}")
-            if f"{tk}.downsample.1.weight" in sd:  # CLIP: [avgpool, conv, bn]
-                blk["ds_conv"] = _conv(sd, f"{tk}.downsample.1")
-                blk["ds_bn"], blk_stats["ds_bn"] = _bn(sd, f"{tk}.downsample.2")
+            if f"{tk}.downsample.0.weight" in sd:
+                # CLIP names the block OrderedDict([("-1", avgpool), ("0", conv),
+                # ("1", bn)]) -> checkpoint keys downsample.0 (conv) / .1 (bn)
+                blk["ds_conv"] = _conv(sd, f"{tk}.downsample.0")
+                blk["ds_bn"], blk_stats["ds_bn"] = _bn(sd, f"{tk}.downsample.1")
             p[fk], stats[fk] = blk, blk_stats
     p["attnpool"] = {
         "positional_embedding": np.asarray(sd["attnpool.positional_embedding"], np.float32),

@@ -26,10 +26,12 @@ class TorchClipBottleneck(tnn.Module):
         self.stride = stride
         self.downsample = None
         if stride > 1 or cin != cout:
+            # real CLIP checkpoint naming: avgpool is "-1" (paramless), so the
+            # conv is downsample.0 and the bn downsample.1
             self.downsample = tnn.Sequential()
-            self.downsample.add_module("0", tnn.AvgPool2d(stride) if stride > 1 else tnn.Identity())
-            self.downsample.add_module("1", tnn.Conv2d(cin, cout, 1, bias=False))
-            self.downsample.add_module("2", tnn.BatchNorm2d(cout))
+            self.downsample.add_module("-1", tnn.AvgPool2d(stride) if stride > 1 else tnn.Identity())
+            self.downsample.add_module("0", tnn.Conv2d(cin, cout, 1, bias=False))
+            self.downsample.add_module("1", tnn.BatchNorm2d(cout))
 
     def forward(self, x):
         idt = x if self.downsample is None else self.downsample(x)

@@ -322,3 +322,51 @@ def test_logistic_loss_vs_reference_impl(stacks, chain_outputs):
     ce = -jnp.mean(jax.nn.log_softmax(logits)[jnp.arange(labels.size), labels])
     total = float(nll + 1.0 * ce)  # gripper_alpha = 1.0
     assert abs(total - float(loss_t)) < 1e-4, (total, float(loss_t))
+
+
+@pytest.mark.slow
+def test_clip_modified_resnet_vs_vendored_reference(ref):
+    """My flax CLIP visual tower + converter vs the ACTUAL vendored CLIP
+    ModifiedResNet (perceptual_encoders/clip.py:130-210), incl. the
+    prepool_im pyramid consumed by CLIP-LingUNet."""
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tr = types.ModuleType("torchvision.transforms")
+        class _InterpolationMode:
+            BICUBIC = "bicubic"
+
+        for n in ("CenterCrop", "Compose", "Normalize", "Resize", "ToTensor"):
+            setattr(tr, n, object)
+        tr.InterpolationMode = _InterpolationMode
+        tv.transforms = tr
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tr
+    if "ftfy" not in sys.modules:
+        ftfy = types.ModuleType("ftfy")
+        ftfy.fix_text = lambda s: s
+        sys.modules["ftfy"] = ftfy
+    clip_mod = importlib.import_module("hulc2.models.perceptual_encoders.clip")
+
+    from hulc2_tpu.models.clip_resnet import ClipModifiedResNet, convert_clip_visual
+
+    torch.manual_seed(2)
+    layers, width, out_dim, heads, res = (1, 1, 1, 1), 16, 32, 4, 64
+    net_t = clip_mod.ModifiedResNet(layers, out_dim, heads, input_resolution=res, width=width).eval()
+    with torch.no_grad():
+        for m in net_t.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.3, 0.3)
+                m.running_var.uniform_(0.7, 1.3)
+        x = torch.randn(2, 3, res, res)
+        emb_t = net_t(x)
+        _, pyramid_t = net_t.prepool_im(x)
+
+    sd = {f"visual.{k}": v for k, v in net_t.state_dict().items()}
+    variables = convert_clip_visual(sd, layers)
+    model = ClipModifiedResNet(layers=layers, width=width, output_dim=out_dim, heads=heads)
+    emb_j, feats_j = model.apply(variables, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+
+    np.testing.assert_allclose(np.asarray(emb_j), emb_t.numpy(), atol=2e-4)
+    # my pyramid = [stem, layer1..4]; reference prepool_im = [stem relus..., avgpool, layer1..4]
+    for f_j, f_t in zip(feats_j[1:], pyramid_t[-4:]):
+        np.testing.assert_allclose(np.asarray(f_j).transpose(0, 3, 1, 2), f_t.numpy(), atol=2e-4)
