@@ -65,7 +65,10 @@ def _install_reference_namespace():
             def load(path):
                 raise FileNotFoundError(path)
 
-        om.ListConfig, om.OmegaConf = ListConfig, OmegaConf
+        class DictConfig(dict):
+            pass
+
+        om.ListConfig, om.OmegaConf, om.DictConfig = ListConfig, OmegaConf, DictConfig
         sys.modules["omegaconf"] = om
     if "pytorch3d" not in sys.modules:
         tr = types.ModuleType("pytorch3d.transforms")
@@ -370,3 +373,36 @@ def test_clip_modified_resnet_vs_vendored_reference(ref):
     # my pyramid = [stem, layer1..4]; reference prepool_im = [stem relus..., avgpool, layer1..4]
     for f_j, f_t in zip(feats_j[1:], pyramid_t[-4:]):
         np.testing.assert_allclose(np.asarray(f_j).transpose(0, 3, 1, 2), f_t.numpy(), atol=2e-4)
+
+
+@pytest.mark.slow
+def test_data_pad_and_val_window_vs_reference_code():
+    """Window/pad semantics vs the actual reference base_dataset.py code.
+    pyhash is stubbed with my FNV1-32 (itself independently test-vectored in
+    tests/test_ops.py), so this validates the reference's str(idx) encoding,
+    modulo arithmetic, and pad tensor layouts against my data layer."""
+    _install_reference_namespace()
+    if "pyhash" not in sys.modules:
+        from hulc2_tpu.ops.fnv import fnv1_32
+
+        ph = types.ModuleType("pyhash")
+        ph.fnv1_32 = lambda: (lambda s: fnv1_32(s.encode() if isinstance(s, str) else s))
+        sys.modules["pyhash"] = ph
+    if "hulc2.datasets" not in sys.modules:
+        m = types.ModuleType("hulc2.datasets")
+        m.__path__ = [f"{REF}/hulc2/datasets"]
+        sys.modules["hulc2.datasets"] = m
+    bd = importlib.import_module("hulc2.datasets.base_dataset")
+
+    from hulc2_tpu.data import window_dataset as wd
+    from hulc2_tpu.ops.fnv import get_validation_window_size
+
+    for idx in [0, 1, 7, 123, 54321, 999999]:
+        assert bd.get_validation_window_size(idx, 16, 32) == get_validation_window_size(idx, 16, 32)
+
+    rng = np.random.RandomState(0)
+    x = rng.rand(5, 7).astype(np.float32)
+    np.testing.assert_array_equal(
+        bd.BaseDataset.pad_with_repetition(torch.from_numpy(x), 3).numpy(), wd._pad_repeat(x, 3))
+    np.testing.assert_array_equal(
+        bd.BaseDataset.pad_with_zeros(torch.from_numpy(x), 3).numpy(), wd._pad_zeros(x, 3))
