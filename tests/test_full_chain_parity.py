@@ -406,3 +406,33 @@ def test_data_pad_and_val_window_vs_reference_code():
         bd.BaseDataset.pad_with_repetition(torch.from_numpy(x), 3).numpy(), wd._pad_repeat(x, 3))
     np.testing.assert_array_equal(
         bd.BaseDataset.pad_with_zeros(torch.from_numpy(x), 3).numpy(), wd._pad_zeros(x, 3))
+
+
+@pytest.mark.slow
+def test_initial_condition_mapping_vs_reference_code(ref):
+    """get_env_state_for_initial_condition vs the actual reference
+    evaluation/utils.py code, over every enumerated initial state (192)."""
+    if "hydra" not in sys.modules:
+        sys.modules["hydra"] = types.ModuleType("hydra")
+    if "pyhash" not in sys.modules:
+        from hulc2_tpu.ops.fnv import fnv1_32
+
+        ph = types.ModuleType("pyhash")
+        ph.fnv1_32 = lambda: (lambda s: fnv1_32(s.encode() if isinstance(s, str) else s))
+        sys.modules["pyhash"] = ph
+    if "hulc2.evaluation" not in sys.modules:
+        m = types.ModuleType("hulc2.evaluation")
+        m.__path__ = [f"{REF}/hulc2/evaluation"]
+        sys.modules["hulc2.evaluation"] = m
+    eu = importlib.import_module("hulc2.evaluation.utils")
+
+    from hulc2_tpu.evaluation.initial_states import get_env_state_for_initial_condition
+    from hulc2_tpu.evaluation.sequences import enumerate_initial_states
+
+    states = enumerate_initial_states()
+    assert len(states) == 192
+    for cond in states:
+        robot_t, scene_t = eu.get_env_state_for_initial_condition(cond)
+        robot_m, scene_m = get_env_state_for_initial_condition(cond)
+        np.testing.assert_allclose(np.asarray(robot_m), np.asarray(robot_t), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(scene_m), np.asarray(scene_t), atol=1e-12)
