@@ -436,3 +436,80 @@ def test_initial_condition_mapping_vs_reference_code(ref):
         robot_m, scene_m = get_env_state_for_initial_condition(cond)
         np.testing.assert_allclose(np.asarray(robot_m), np.asarray(robot_t), atol=1e-12)
         np.testing.assert_allclose(np.asarray(scene_m), np.asarray(scene_t), atol=1e-12)
+
+
+@pytest.mark.slow
+def test_kl_balancing_and_clip_aux_loss_vs_reference_code(ref):
+    """compute_kl_loss (Hafner balancing, hulc2.py:444-466) and
+    clip_auxiliary_loss (hulc2.py:472-508, incl. the use_for_aux_loss mask)
+    vs the actual reference methods, invoked on a bare reference Hulc2."""
+    if "pytorch_lightning" not in sys.modules:
+        pl = types.ModuleType("pytorch_lightning")
+        pl.LightningModule = torch.nn.Module
+        plu = types.ModuleType("pytorch_lightning.utilities")
+        plu.rank_zero_info = lambda *a, **k: None
+        plu.rank_zero_only = lambda fn: fn
+        pl.utilities = plu
+        sys.modules["pytorch_lightning"] = pl
+        sys.modules["pytorch_lightning.utilities"] = plu
+    if "hydra" not in sys.modules:
+        sys.modules["hydra"] = types.ModuleType("hydra")
+    hm = importlib.import_module("hulc2.models.hulc2")
+    pv = importlib.import_module("hulc2.models.auxiliary_loss_networks.proj_vis_lang")
+
+    torch.manual_seed(4)
+    obj = object.__new__(hm.Hulc2)
+    torch.nn.Module.__init__(obj)
+    obj.dist = ref["distributions"].Distribution(dist="discrete", category_size=8, class_size=8)
+    obj.kl_balancing_mix = 0.8
+    obj.kl_beta = 0.01
+    obj.use_clip_auxiliary_loss = True
+    obj.proj_vis_lang = pv.ProjVisLang(64, 32, 32, proj_lang=True).eval()
+    obj.logit_scale = torch.nn.Parameter(torch.ones([]) * float(np.log(1 / 0.07)))
+
+    rng = np.random.RandomState(11)
+    pp = rng.randn(4, 64).astype(np.float32)
+    pr = rng.randn(4, 64).astype(np.float32)
+    RefDisc = ref["distributions"].DiscState
+    kl_t = obj.compute_kl_loss(RefDisc(torch.from_numpy(pp)), RefDisc(torch.from_numpy(pr)))
+
+    from hulc2_tpu.models.distributions import DiscState as MyDisc
+    from hulc2_tpu.models.distributions import PlanDistribution
+
+    dist_j = PlanDistribution("discrete", 8, 8)
+    kl_j = dist_j.kl_balanced(MyDisc(jnp.asarray(pp)), MyDisc(jnp.asarray(pr)), 0.8) * 0.01
+    assert abs(float(kl_j) - float(kl_t)) < 1e-6, (float(kl_j), float(kl_t))
+
+    # clip contrastive loss with a non-trivial aux mask; my static-shape masked
+    # formulation must equal the reference's boolean-subset formulation
+    vis = rng.randn(6, 64).astype(np.float32)
+    lang = rng.randn(6, 32).astype(np.float32)
+    mask = np.array([True, False, True, True, False, True])
+    with torch.no_grad():
+        clip_t = obj.clip_auxiliary_loss(
+            torch.from_numpy(vis), torch.from_numpy(lang), torch.from_numpy(mask))
+
+    import flax.linen as fnn
+
+    from hulc2_tpu.models.aux_nets import ProjVisLang as MyProj
+    from hulc2_tpu.models.hulc2 import Hulc2 as MyHulc2
+    from hulc2_tpu.utils.convert import proj_vis_lang as conv_proj
+
+    class ClipLossProbe(fnn.Module):
+        """Drives the real Hulc2._clip_auxiliary_loss implementation."""
+        proj_vis_lang: fnn.Module
+
+        def setup(self):
+            self.logit_scale = self.param(
+                "logit_scale", lambda k: jnp.asarray(np.log(1 / 0.07), jnp.float32))
+
+        __call__ = MyHulc2._clip_auxiliary_loss
+
+    sd = {f"proj_vis_lang.{k}": v for k, v in obj.proj_vis_lang.state_dict().items()}
+    probe = ClipLossProbe(MyProj(output_dim=32))
+    params = {"params": {
+        "proj_vis_lang": jax.tree_util.tree_map(jnp.asarray, conv_proj(sd, "proj_vis_lang")),
+        "logit_scale": jnp.asarray(np.log(1 / 0.07), jnp.float32),
+    }}
+    clip_j = probe.apply(params, jnp.asarray(vis), jnp.asarray(lang), jnp.asarray(mask))
+    assert abs(float(clip_j) - float(clip_t)) < 1e-5, (float(clip_j), float(clip_t))
