@@ -513,3 +513,51 @@ def test_kl_balancing_and_clip_aux_loss_vs_reference_code(ref):
     }}
     clip_j = probe.apply(params, jnp.asarray(vis), jnp.asarray(lang), jnp.asarray(mask))
     assert abs(float(clip_j) - float(clip_t)) < 1e-5, (float(clip_j), float(clip_t))
+
+
+@pytest.mark.slow
+def test_action_sampling_distribution_vs_reference(stacks, chain_outputs):
+    """Gumbel-mixture-select + inversion sampling: statistical parity of my
+    sampler against the reference _sample (logistic_decoder_rnn.py:231-256)
+    on the same mixture parameters, plus exact parity of the deterministic
+    discrete-gripper command."""
+    r, _, _ = stacks
+    ref_out, my_out = chain_outputs
+
+    from hulc2_tpu.ops.logistic import logistic_mixture_sample
+
+    n_draws = 300
+    torch.manual_seed(9)
+    t_samples = []
+    with torch.no_grad():
+        for _ in range(n_draws):
+            full = r["action_decoder"]._sample(
+                torch.from_numpy(ref_out["logit_probs"]),
+                torch.from_numpy(ref_out["log_scales"]),
+                torch.from_numpy(ref_out["means"]),
+                torch.from_numpy(ref_out["gripper"]),
+            )
+            t_samples.append(full.numpy())
+    t_samples = np.stack(t_samples)
+
+    key = jax.random.PRNGKey(9)
+    j_samples = np.stack([
+        np.asarray(logistic_mixture_sample(
+            jax.random.fold_in(key, i),
+            jnp.asarray(my_out["logit_probs"]), jnp.asarray(my_out["log_scales"]),
+            jnp.asarray(my_out["means"]),
+        )) for i in range(n_draws)
+    ])
+
+    # continuous dims: per-(b,s,dim) sample mean/std agree statistically.
+    # SE of each mean is sd/sqrt(n); bound the average |delta| by a multiple
+    # of that scale so the test is calibrated to the sampler's true variance.
+    mu_t, mu_j = t_samples[..., :-1].mean(0), j_samples.mean(0)
+    sd_t, sd_j = t_samples[..., :-1].std(0), j_samples.std(0)
+    se = float(sd_t.mean()) / np.sqrt(n_draws)
+    assert float(np.abs(mu_t - mu_j).mean()) < 3 * se, (float(np.abs(mu_t - mu_j).mean()), se)
+    assert float(np.abs(sd_t - sd_j).mean()) < 3 * se, (float(np.abs(sd_t - sd_j).mean()), se)
+    # gripper command is deterministic: bounds[argmax]
+    grip_t = t_samples[0, ..., -1]
+    grip_j = np.where(np.argmax(my_out["gripper"], -1) == 1, 1.0, -1.0)
+    np.testing.assert_array_equal(grip_t, grip_j)
