@@ -42,6 +42,12 @@ def make_schedule(sched_cfg: Optional[dict], base_lr: float, estimated_total: in
     raise ValueError(kind)
 
 
+def schedule_value(opt_cfg: dict, sched_cfg: Optional[dict], step: int, estimated_total: int = 100_000) -> float:
+    """Current learning rate (the reference's LearningRateMonitor role)."""
+    sched = make_schedule(sched_cfg, opt_cfg.get("lr", 2e-4), estimated_total)
+    return float(sched(step)) if callable(sched) else float(sched)
+
+
 def make_optimizer(opt_cfg: dict, sched_cfg: Optional[dict] = None, estimated_total: int = 100_000):
     """Build the optax transform. Adam hyperparams match torch defaults
     (betas (0.9, 0.999), eps 1e-8) so training dynamics line up."""

@@ -61,10 +61,11 @@ class Trainer:
 
     def _init_state(self, steps_per_epoch: int) -> tuple:
         cfg = self.cfg
+        self._estimated_total = steps_per_epoch * cfg["training"]["max_epochs"]
         tx = optim.make_optimizer(
             cfg["model"]["optimizer"],
             cfg["model"].get("lr_scheduler"),
-            estimated_total=steps_per_epoch * cfg["training"]["max_epochs"],
+            estimated_total=self._estimated_total,
         )
         sample_batch = self._sample_device_batch()
 
@@ -149,6 +150,9 @@ class Trainer:
                 n_samples += sum(raw_batch[m]["actions"].shape[0] for m in raw_batch)
                 if total_steps % cfg.get("trainer", {}).get("log_every_n_steps", 50) == 0:
                     last_metrics = {k: float(v) for k, v in metrics.items()}
+                    last_metrics["lr"] = optim.schedule_value(
+                        cfg["model"]["optimizer"], cfg["model"].get("lr_scheduler"),
+                        int(state.step), self._estimated_total)
                     mlog.log(last_metrics, int(state.step), prefix="train/")
                 if self._preempted or (max_steps and total_steps >= max_steps):
                     it.close()
