@@ -260,3 +260,46 @@ class TestEpochShuffling:
         b0 = [b["vis"]["idx"].tolist() for b in dm.train_iter()]
         b1 = [b["vis"]["idx"].tolist() for b in dm.train_iter()]
         assert b0 != b1
+
+
+class TestNativeLoader:
+    """Direct coverage of the C++ npz frame loader (native/frameloader.cpp)."""
+
+    def test_native_matches_numpy(self, tmp_path):
+        from hulc2_tpu.data import native_loader
+
+        rng = np.random.default_rng(5)
+        paths, want_rgb, want_act = [], [], []
+        for i in range(6):
+            rgb = rng.integers(0, 256, (16, 16, 3), np.uint8)
+            act = rng.standard_normal(7).astype(np.float32)
+            p = tmp_path / f"frame_{i:07d}.npz"
+            # both stored and deflated entries exercise the inflate path
+            if i % 2:
+                np.savez_compressed(p, rgb_static=rgb, actions=act)
+            else:
+                np.savez(p, rgb_static=rgb, actions=act)
+            paths.append(str(p))
+            want_rgb.append(rgb)
+            want_act.append(act)
+
+        assert native_loader.probe_entry_bytes(paths[0], "rgb_static") == 16 * 16 * 3
+
+        out = np.empty((6, 16, 16, 3), np.uint8)
+        native_loader.load_frames_into(paths, "rgb_static", out, n_threads=4)
+        np.testing.assert_array_equal(out, np.stack(want_rgb))
+
+        acts = np.empty((6, 7), np.float32)
+        native_loader.load_frames_into(paths, "actions", acts, n_threads=2)
+        np.testing.assert_array_equal(acts, np.stack(want_act))
+
+    def test_native_error_on_missing_key(self, tmp_path):
+        from hulc2_tpu.data import native_loader
+
+        if not native_loader.available():
+            pytest.skip("native loader not built")
+        p = tmp_path / "x.npz"
+        np.savez(p, a=np.zeros(3, np.float32))
+        out = np.empty((1, 3), np.float32)
+        with pytest.raises(RuntimeError):
+            native_loader.load_frames_into([str(p)], "missing", out)
