@@ -43,16 +43,20 @@ class AffordanceDetector(nn.Module):
     depth_dist: Optional[str] = "gaussian"  # gaussian | logistic | None
     normalize_depth: bool = True
     freeze_encoder: bool = True
+    compute_dtype: Optional[str] = None  # "bfloat16" -> bf16 decoder compute
 
     @nn.compact
     def __call__(self, img: jnp.ndarray, lang: jnp.ndarray, train: bool = False) -> AffordanceOutput:
         b, h, w, _ = img.shape
+        import jax.numpy as _jnp
+
         logits, bottleneck = LingUNet(
             self.encoder_name,
             self.decoder_channels,
             self.fusion_type,
             self.lang_embed_dim,
             freeze_encoder=self.freeze_encoder,
+            compute_dtype=_jnp.dtype(self.compute_dtype) if self.compute_dtype else None,
             name="aff_stream",
         )(img, lang, train)
         assert logits.shape[1:3] == (h, w), (

@@ -27,12 +27,14 @@ from hulc2_tpu.models.resnet import ResNet
 class Conv2dBNReLU(nn.Module):
     features: int
     kernel: int = 3
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.Conv(self.features, (self.kernel, self.kernel), padding=self.kernel // 2,
-                    use_bias=False, name="conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, epsilon=1e-5, momentum=0.9, name="bn")(x)
+                    use_bias=False, dtype=self.dtype, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, epsilon=1e-5, momentum=0.9,
+                         dtype=self.dtype, name="bn")(x)
         return nn.relu(x)
 
 
@@ -40,11 +42,12 @@ class DecoderBlock(nn.Module):
     out_channels: int
     fuse: Optional[str] = None  # fusion module name or None
     lang_embed_dim: int = 1024
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, lang=None, skip=None, out_hw=None, train: bool = False):
         if self.fuse is not None and lang is not None:
-            proj = Dense(x.shape[-1], name="lang_proj")
+            proj = Dense(x.shape[-1], dtype=self.dtype, name="lang_proj")
             x = FUSERS[self.fuse](name="fuser")(x, lang, lang_proj=proj)
         # nearest upsample to the skip's (or requested) resolution
         if skip is not None:
@@ -64,8 +67,8 @@ class DecoderBlock(nn.Module):
             ).reshape(n, h * factor, w * factor, c)
         if skip is not None:
             x = jnp.concatenate([x, skip], axis=-1)
-        x = Conv2dBNReLU(self.out_channels, name="conv1")(x, train)
-        x = Conv2dBNReLU(self.out_channels, name="conv2")(x, train)
+        x = Conv2dBNReLU(self.out_channels, dtype=self.dtype, name="conv1")(x, train)
+        x = Conv2dBNReLU(self.out_channels, dtype=self.dtype, name="conv2")(x, train)
         return x
 
 
@@ -74,6 +77,7 @@ class UnetLangFusionDecoder(nn.Module):
     fusion_type: str = "mult"
     lang_embed_dim: int = 1024
     n_fused_blocks: int = 3  # language fusion on the deepest 3 blocks
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, lang, features: List[jnp.ndarray], train: bool = False):
@@ -83,9 +87,8 @@ class UnetLangFusionDecoder(nn.Module):
         for i, ch in enumerate(self.decoder_channels):
             fuse = self.fusion_type if i < self.n_fused_blocks else None
             skip = skips[i] if i < len(skips) else None
-            x = DecoderBlock(ch, fuse, self.lang_embed_dim, name=f"block{i}")(
-                x, lang, skip, out_hw, train
-            )
+            x = DecoderBlock(ch, fuse, self.lang_embed_dim, dtype=self.dtype,
+                             name=f"block{i}")(x, lang, skip, out_hw, train)
         return x
 
 
@@ -98,6 +101,9 @@ class LingUNet(nn.Module):
     lang_embed_dim: int = 1024
     n_classes: int = 1
     freeze_encoder: bool = True
+    # bf16 decoder compute (params/BN stats stay fp32); the frozen encoder
+    # runs fp32 — opt-in perf knob, default exact-fp32
+    compute_dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, img, lang, train: bool = False):
@@ -116,7 +122,9 @@ class LingUNet(nn.Module):
         if self.freeze_encoder:
             feats = [jax.lax.stop_gradient(f) for f in feats]
         dec = UnetLangFusionDecoder(
-            tuple(self.decoder_channels), self.fusion_type, self.lang_embed_dim, name="decoder"
+            tuple(self.decoder_channels), self.fusion_type, self.lang_embed_dim,
+            dtype=self.compute_dtype, name="decoder"
         )(lang, feats, train)
-        logits = nn.Conv(self.n_classes, (3, 3), padding=1, name="seg_head")(dec)
-        return logits, feats[-1]
+        logits = nn.Conv(self.n_classes, (3, 3), padding=1, dtype=self.compute_dtype,
+                         name="seg_head")(dec)
+        return logits.astype(jnp.float32), feats[-1]

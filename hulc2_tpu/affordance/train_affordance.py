@@ -38,6 +38,7 @@ def build_detector(aff_cfg: dict):
         depth_dist=aff_cfg.get("depth_dist") or None,
         normalize_depth=aff_cfg.get("normalize_depth", True),
         freeze_encoder=aff_cfg.get("freeze_encoder", True),
+        compute_dtype=aff_cfg.get("compute_dtype") or None,
     )
 
 

@@ -273,3 +273,21 @@ class TestAuxScripts:
 
         err, ok = run(px=(120, 90), depth=1.8)
         assert ok, f"TCP err {err} too large"
+
+
+class TestComputeDtype:
+    def test_bf16_decoder_close_to_f32(self):
+        rng = np.random.RandomState(0)
+        img = jnp.asarray(rng.rand(2, 64, 64, 3), jnp.float32)
+        lang = jnp.asarray(rng.rand(2, 64), jnp.float32)
+        outs = {}
+        for dt in (None, "bfloat16"):
+            model = AffordanceDetector(decoder_channels=(32, 16, 8, 8, 8),
+                                       lang_embed_dim=64, depth_dist=None, compute_dtype=dt)
+            v = model.init(jax.random.PRNGKey(0), img, lang, False)
+            out = model.apply(v, img, lang, False)
+            assert out.aff_logits.dtype == jnp.float32
+            outs[dt] = np.asarray(out.aff_logits)
+        # bf16 decoder tracks fp32 within bf16 resolution
+        denom = np.abs(outs[None]).mean()
+        assert np.abs(outs[None] - outs["bfloat16"]).mean() / denom < 0.05
