@@ -87,16 +87,37 @@ def get_sequences(num_sequences: int = 1000, num_workers: int = None) -> List[Tu
     per_state = [len(part) for part in np.array_split(range(num_sequences), len(states))]
 
     with temp_seed(0):
-        # spawn (not fork): JAX is usually initialized by now and fork() of a
-        # multithreaded process can deadlock
-        import multiprocessing as mp
+        jobs = list(zip(states, per_state, range(len(states))))
+        import os
 
-        with ProcessPoolExecutor(max_workers=num_workers, mp_context=mp.get_context("spawn")) as pool:
-            chunks = list(pool.map(_chains_for_state, zip(states, per_state, range(len(states)))))
+        if (os.cpu_count() or 1) <= 1:
+            chunks = _chains_sequential(jobs)
+        else:
+            # spawn (not fork): JAX is usually initialized by now and fork()
+            # of a multithreaded process can deadlock
+            import multiprocessing as mp
+
+            try:
+                with ProcessPoolExecutor(
+                    max_workers=num_workers, mp_context=mp.get_context("spawn")
+                ) as pool:
+                    chunks = list(pool.map(_chains_for_state, jobs))
+            except Exception:  # constrained env (no fds / cgroup limits)
+                chunks = _chains_sequential(jobs)
         flat = [tuple(chain.tolist()) for chunk in chunks for chain in chunk]
         results = list(zip(np.repeat(states, per_state), flat))
         np.random.shuffle(results)
     return results
+
+
+def _chains_sequential(jobs) -> List[List[np.ndarray]]:
+    """In-process fallback, bit-identical to the pooled path: the workers
+    reseed the global legacy RNG per state, so save/restore the ambient
+    temp_seed(0) state around them to keep the final shuffle unchanged."""
+    saved = np.random.get_state()
+    chunks = [_chains_for_state(a) for a in jobs]
+    np.random.set_state(saved)
+    return chunks
 
 
 def exhaustive_sequences_for_state(state: Dict, num_sequences: int = None):
