@@ -561,3 +561,58 @@ def test_action_sampling_distribution_vs_reference(stacks, chain_outputs):
     grip_t = t_samples[0, ..., -1]
     grip_j = np.where(np.argmax(my_out["gripper"], -1) == 1, 1.0, -1.0)
     np.testing.assert_array_equal(grip_t, grip_j)
+
+
+@pytest.mark.slow
+def test_process_state_vs_reference_code():
+    """Proprio normalize/orientation/slice semantics vs the actual reference
+    episode_utils.process_state, incl. the unnormalized-orientation carve-out."""
+    _install_reference_namespace()
+    if "hulc2.datasets" not in sys.modules:
+        for name, path in [("hulc2.datasets", f"{REF}/hulc2/datasets"),
+                           ("hulc2.datasets.utils", f"{REF}/hulc2/datasets/utils")]:
+            m = types.ModuleType(name)
+            m.__path__ = [path]
+            sys.modules[name] = m
+    eu = importlib.import_module("hulc2.datasets.utils.episode_utils")
+
+    import jax as _jax
+
+    from hulc2_tpu.data.device_transforms import process_proprio
+    from hulc2_tpu.data.statistics import DatasetStatistics
+
+    class AttrDict(dict):
+        __getattr__ = dict.__getitem__
+
+        def __contains__(self, k):
+            return dict.__contains__(self, k)
+
+    rng = np.random.RandomState(2)
+    robot_obs = rng.rand(8, 15).astype(np.float32) * 2 - 1
+    mean = rng.rand(15).astype(np.float32)
+    std = (rng.rand(15).astype(np.float32) + 0.5)
+
+    class NormalizeVector:
+        def __call__(self, x):
+            return (x - torch.from_numpy(mean)) / torch.from_numpy(std)
+
+    for normalize, norm_orn in [(True, True), (True, False), (False, True)]:
+        proprio = AttrDict(
+            n_state_obs=8,
+            keep_indices=[[0, 7], [14, 15]],
+            robot_orientation_idx=[3, 6],
+            normalize=normalize,
+            normalize_robot_orientation=norm_orn,
+        )
+        ref_out = eu.process_state(
+            {"robot_obs": robot_obs},
+            {"state_obs": ["robot_obs"]},
+            {"robot_obs": NormalizeVector()},
+            proprio,
+            seq_idx=0, window_size=8,
+        )["robot_obs"].numpy()
+
+        stats = DatasetStatistics(robot_obs_mean=mean, robot_obs_std=std)
+        mine = np.asarray(process_proprio(
+            _jax.numpy.asarray(robot_obs), stats, dict(proprio)))
+        np.testing.assert_allclose(mine, ref_out, atol=1e-6), (normalize, norm_orn)
