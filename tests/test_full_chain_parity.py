@@ -616,3 +616,49 @@ def test_process_state_vs_reference_code():
         mine = np.asarray(process_proprio(
             _jax.numpy.asarray(robot_obs), stats, dict(proprio)))
         np.testing.assert_allclose(mine, ref_out, atol=1e-6), (normalize, norm_orn)
+
+
+@pytest.mark.slow
+def test_random_shift_vs_reference_grid_sample():
+    """My one-hot-matmul RandomShift vs the ACTUAL reference RandomShiftsAug
+    (transforms.py:85-106, grid_sample formulation). The reference's shift
+    offsets are drawn internally, so each reference output is matched against
+    all (2p+1)^2 exact crops from my oracle: exactly one candidate must agree
+    (to grid_sample's fp rounding), proving identical crop semantics."""
+    _install_reference_namespace()
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv.transforms = types.ModuleType("torchvision.transforms")
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tv.transforms
+    tr = importlib.import_module("hulc2.utils.transforms")
+
+    from hulc2_tpu.ops.preprocess import random_shift, random_shift_slices
+
+    pad, hw = 4, 32
+    rng = np.random.RandomState(6)
+    img = rng.randint(0, 256, (1, hw, hw, 3)).astype(np.float32)
+
+    torch.manual_seed(0)
+    aug = tr.RandomShiftsAug(pad)
+    ref_out = aug(torch.from_numpy(img).permute(0, 3, 1, 2)).permute(0, 2, 3, 1).numpy()
+
+    # all exact crops of the replicate-padded image
+    padded = np.pad(img[0], ((pad, pad), (pad, pad), (0, 0)), mode="edge")
+    errs = np.array([
+        [np.abs(padded[r:r + hw, c:c + hw] - ref_out[0]).max() for c in range(2 * pad + 1)]
+        for r in range(2 * pad + 1)
+    ])
+    best = errs.min()
+    assert best < 5e-3, best  # grid_sample fp rounding on 0-255 pixels
+    assert (errs < 5e-3).sum() == 1  # and the match is unique
+
+    # and my matmul formulation equals my exact-crop oracle bit-for-bit
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    key = _jax.random.PRNGKey(3)
+    imgs = _jnp.asarray(rng.randint(0, 256, (4, hw, hw, 3)).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(random_shift(key, imgs, pad)),
+        np.asarray(random_shift_slices(key, imgs, pad)))
