@@ -170,3 +170,15 @@ def color_jitter(
 
     apply = jax.random.uniform(k_apply, ()) < prob
     return jnp.where(apply, out, imgs)
+
+
+def relative_actions(actions: jnp.ndarray, robot_obs: jnp.ndarray,
+                     max_pos: float = 0.02, max_orn: float = 0.05) -> jnp.ndarray:
+    """Absolute world-frame actions -> clipped, scaled relative actions
+    (reference: transforms.py:124-148 RelativeActions). ``actions`` and
+    ``robot_obs`` are (..., 7)/(..., >=6); gripper passes through."""
+    rel_pos = jnp.clip(actions[..., :3] - robot_obs[..., :3], -max_pos, max_pos) / max_pos
+    diff = actions[..., 3:6] - robot_obs[..., 3:6]
+    wrapped = (diff + jnp.pi) % (2 * jnp.pi) - jnp.pi
+    rel_orn = jnp.clip(wrapped, -max_orn, max_orn) / max_orn
+    return jnp.concatenate([rel_pos, rel_orn, actions[..., -1:]], axis=-1)

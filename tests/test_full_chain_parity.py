@@ -662,3 +662,31 @@ def test_random_shift_vs_reference_grid_sample():
     np.testing.assert_array_equal(
         np.asarray(random_shift(key, imgs, pad)),
         np.asarray(random_shift_slices(key, imgs, pad)))
+
+
+@pytest.mark.slow
+def test_relative_actions_vs_reference_code():
+    """ops.preprocess.relative_actions vs the reference RelativeActions
+    transform (transforms.py:124-148): clip->scale positions, wrapped-angle
+    clip->scale orientations, gripper passthrough."""
+    _install_reference_namespace()
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv.transforms = types.ModuleType("torchvision.transforms")
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tv.transforms
+    tr = importlib.import_module("hulc2.utils.transforms")
+
+    import jax.numpy as _jnp
+
+    from hulc2_tpu.ops.preprocess import relative_actions
+
+    rng = np.random.RandomState(8)
+    actions = rng.rand(16, 7).astype(np.float32) * 2 - 1
+    actions[:, 3:6] *= np.pi
+    robot_obs = rng.rand(16, 15).astype(np.float32) * 2 - 1
+    robot_obs[:, 3:6] *= np.pi
+
+    ref = tr.RelativeActions(0.02, 0.05)((actions, robot_obs))
+    mine = np.asarray(relative_actions(_jnp.asarray(actions), _jnp.asarray(robot_obs), 0.02, 0.05))
+    np.testing.assert_allclose(mine, ref, atol=1e-5)
