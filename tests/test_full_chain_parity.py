@@ -23,6 +23,7 @@ Reference call chain mirrored here: hulc2/models/hulc2.py:200-247 (lmp_train/
 lmp_val), logistic_decoder_rnn.py:257-284 (forward).
 """
 import importlib
+import json
 import sys
 import types
 
@@ -690,3 +691,31 @@ def test_relative_actions_vs_reference_code():
     ref = tr.RelativeActions(0.02, 0.05)((actions, robot_obs))
     mine = np.asarray(relative_actions(_jnp.asarray(actions), _jnp.asarray(robot_obs), 0.02, 0.05))
     np.testing.assert_allclose(mine, ref, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_split_dataset_vs_reference_code(tmp_path):
+    """split.json content parity vs the actual reference SplitData for both
+    strategies (per-episode tail split and best-combination episode split)."""
+    _install_reference_namespace()
+    if "hulc2.utils.split_dataset" not in sys.modules:
+        pass  # resolves through the hulc2.utils namespace package
+    sd_mod = importlib.import_module("hulc2.utils.split_dataset")
+
+    from hulc2_tpu.tools.split_dataset import find_best_split, split_every_episode
+
+    ep_ids = np.array([[0, 999], [1000, 1499], [1500, 2799], [2800, 3099]])
+    np.save(tmp_path / "ep_start_end_ids.npy", ep_ids)
+
+    ref = sd_mod.SplitData(str(tmp_path), val_percentage=0.1, max_episodes_in_validation=2)
+
+    ref.split_every_episode()
+    ref_split = json.loads((tmp_path / "split.json").read_text())
+    mine = split_every_episode(ep_ids, 0.1)
+    assert {k: [list(map(int, r)) for r in v] for k, v in mine.items()} == ref_split
+
+    ref.find_best_split()
+    ref_split = json.loads((tmp_path / "split.json").read_text())
+    mine = find_best_split(ep_ids, 0.1, max_val_episodes=2)
+    assert {k: sorted(list(map(int, r)) for r in v) for k, v in mine.items()} == \
+        {k: sorted(v) for k, v in ref_split.items()}
