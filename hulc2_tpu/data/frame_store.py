@@ -73,7 +73,12 @@ class NpzFrameStore:
             out = {}
             for k, (shape, dtype) in self._frame_specs().items():
                 buf = np.empty((size, *shape), dtype)
-                native_loader.load_frames_into(paths, k, buf, n_threads=min(size, 8))
+                import os as _os
+
+                # 2 threads/core saturates; more just contend (measured on
+                # a 1-CPU host: nt=2 22.9k frames/s, nt=8 17.7k)
+                n_threads = min(size, 2 * (_os.cpu_count() or 4))
+                native_loader.load_frames_into(paths, k, buf, n_threads=n_threads)
                 out[k] = buf
             return out
         frames = [self.load_frame(start + i) for i in range(size)]
