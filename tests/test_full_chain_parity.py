@@ -719,3 +719,48 @@ def test_split_dataset_vs_reference_code(tmp_path):
     mine = find_best_split(ep_ids, 0.1, max_val_episodes=2)
     assert {k: sorted(list(map(int, r)) for r in v) for k, v in mine.items()} == \
         {k: sorted(v) for k, v in ref_split.items()}
+
+
+@pytest.mark.slow
+def test_max_window_heuristic_vs_reference_code(tmp_path):
+    """My episode-index max-window logic vs the ACTUAL reference
+    NpzDataset.get_window_size (npz_dataset.py:66-88) over every index of a
+    multi-episode lookup, for both validation (FNV windows) and the training
+    path's max_window bound."""
+    _install_reference_namespace()
+    if "pyhash" not in sys.modules:
+        from hulc2_tpu.ops.fnv import fnv1_32
+
+        ph = types.ModuleType("pyhash")
+        ph.fnv1_32 = lambda: (lambda s: fnv1_32(s.encode() if isinstance(s, str) else s))
+        sys.modules["pyhash"] = ph
+    if "hulc2.datasets" not in sys.modules:
+        for name, path in [("hulc2.datasets", f"{REF}/hulc2/datasets"),
+                           ("hulc2.datasets.utils", f"{REF}/hulc2/datasets/utils")]:
+            m = types.ModuleType(name)
+            m.__path__ = [path]
+            sys.modules[name] = m
+    nd = importlib.import_module("hulc2.datasets.npz_dataset")
+
+    from hulc2_tpu.data import episode_index as ei
+    from hulc2_tpu.ops.fnv import get_validation_window_size
+
+    # dataset with awkward episode lengths (min 20 / max 32 windows)
+    root = tmp_path / "validation"
+    root.mkdir()
+    ranges = [(0, 40), (100, 170), (300, 325)]
+    np.save(root / "ep_start_end_ids.npy", np.asarray(ranges))
+    for start, end in ranges:
+        for i in range(start, end + 1):
+            np.savez(root / f"episode_{i:07d}.npz", robot_obs=np.zeros(2, np.float32))
+    idx = ei.build_vision_index(root, "validation", 20, 32)
+
+    ref_ds = object.__new__(nd.NpzDataset)
+    ref_ds.min_window_size, ref_ds.max_window_size = 20, 32
+    ref_ds.episode_lookup = list(idx.episode_lookup)
+    ref_ds.validation = True
+
+    for i in range(len(idx)):
+        ref_w = ref_ds.get_window_size(i)
+        my_w = get_validation_window_size(i, 20, idx.max_window(i))
+        assert my_w == ref_w, (i, my_w, ref_w)
