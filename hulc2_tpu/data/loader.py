@@ -136,28 +136,52 @@ class DevicePrefetcher:
             return jax.device_put(batch)
         import jax.sharding as shd
 
+        multi_process = jax.process_count() > 1
+
         def put(x):
             if hasattr(x, "ndim") and x.ndim >= 1:
                 spec = shd.PartitionSpec(*self.sharding.spec[:1], *([None] * (x.ndim - 1)))
-                return jax.device_put(x, shd.NamedSharding(self.sharding.mesh, spec))
+                ns = shd.NamedSharding(self.sharding.mesh, spec)
+                if multi_process:
+                    # each process loads its own shard of the global batch
+                    # (BatchLoader samples per-process); device_put would
+                    # demand identical global values on every host
+                    global_shape = (x.shape[0] * jax.process_count(), *x.shape[1:])
+                    return jax.make_array_from_process_local_data(
+                        ns, np.asarray(x), global_shape=global_shape
+                    )
+                return jax.device_put(x, ns)
             return jax.device_put(x)
 
         return jax.tree_util.tree_map(put, batch)
 
     def _worker(self):
+        # Multi-process: global-array formation MUST happen on the consumer
+        # thread — every process has to issue device ops in the same order,
+        # and a producer thread racing the main thread's jitted collectives
+        # deadlocks Gloo/ICI (measured: 2-process CPU mesh hangs). The thread
+        # still overlaps the expensive host-side loading; only the final
+        # device transfer is deferred.
+        defer = jax.process_count() > 1
         try:
             for batch in self.it:
                 if self._stopped:
                     break
-                self.q.put(self._put_device(batch))
+                self.q.put(batch if defer else self._put_device(batch))
         except BaseException as e:  # propagate to the consumer thread
             if not self._stopped:
                 self.q.put(e)
         finally:
-            try:
-                self.q.put_nowait(self._done)
-            except queue.Full:
-                pass
+            # the end-of-epoch sentinel must not be dropped: a full queue here
+            # (consumer still draining the last prefetched batches) would hang
+            # the consumer forever. Block with a timeout so close() can still
+            # interrupt.
+            while not self._stopped:
+                try:
+                    self.q.put(self._done, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
 
     def __iter__(self):
         return self
@@ -168,6 +192,8 @@ class DevicePrefetcher:
             raise StopIteration
         if isinstance(item, BaseException):
             raise item
+        if jax.process_count() > 1:
+            return self._put_device(item)
         return item
 
 
