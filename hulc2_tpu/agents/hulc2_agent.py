@@ -29,7 +29,7 @@ from hulc2_tpu.agents.base_agent import BaseAgent
 from hulc2_tpu.data.device_transforms import make_batch_transform
 from hulc2_tpu.data.statistics import DatasetStatistics
 from hulc2_tpu.models.hulc2 import Hulc2, PolicyCarry
-from hulc2_tpu.train.steps import make_policy_step
+from hulc2_tpu.train.steps import make_fused_policy_step
 
 logger = logging.getLogger(__name__)
 
@@ -47,13 +47,13 @@ class Hulc2Agent(BaseAgent):
         affordance=None,  # optional affordance detector with .predict()
         seed: int = 0,
         n_envs: int = 1,
+        fused_step=None,
     ):
         super().__init__(env)
         self.model = model
         self.params = params
         self.affordance = affordance
         self.n_envs = n_envs
-        self._policy_step = make_policy_step(model)
         self._transform = make_batch_transform(
             dm_cfg["observation_space"],
             dm_cfg["proprioception_dims"],
@@ -61,6 +61,9 @@ class Hulc2Agent(BaseAgent):
             dm_cfg.get("transforms", "rand_shift"),
             train=False,
         )
+        # one jitted program per env step (transform + policy + binarize);
+        # shareable across cohort agents so the program compiles once
+        self._fused_step = fused_step or make_fused_policy_step(model, self._transform)
         self._key = jax.random.PRNGKey(seed)
         self._step_idx = 0
         self.carry: PolicyCarry = model.init_carry(n_envs)
@@ -121,30 +124,27 @@ class Hulc2Agent(BaseAgent):
         raw["actions"] = jnp.zeros((self.n_envs, 1, 7), jnp.float32)  # unused by transform consumers
         return raw
 
+    def step_async(self, obs: Dict, goal: Dict) -> jnp.ndarray:
+        """Submit ONE jitted policy dispatch for the current observation(s)
+        and return the (async) device action array without blocking. Used by
+        the pipelined evaluator to keep several cohorts' dispatches in flight
+        while host simulators step."""
+        raw = self._obs_to_device(obs)
+        if "lang" in goal:
+            lang = np.asarray(goal["lang"], np.float32)
+            if lang.ndim == 1:
+                lang = np.broadcast_to(lang[None], (self.n_envs, lang.shape[-1]))
+            dev_goal = {"lang": jnp.asarray(lang)}
+        else:
+            dev_goal = goal
+        action, self.carry = self._fused_step(
+            self.params, raw, dev_goal, self.carry, self._key, self._step_idx
+        )
+        self._step_idx += 1
+        return action
+
     def step(self, obs: Dict, goal: Dict) -> np.ndarray:
         """One policy action for the current observation(s). ``goal`` is
         {"lang": embedding (E,) or (B, E)} or a visual goal obs dict."""
-        raw = self._obs_to_device(obs)
-        key = jax.random.fold_in(self._key, self._step_idx)
-        self._step_idx += 1
-        tfd = self._transform(key, raw)
-        if "lang" in goal:
-            lang = jnp.asarray(np.asarray(goal["lang"], np.float32))
-            if lang.ndim == 1:
-                lang = jnp.broadcast_to(lang[None], (self.n_envs, lang.shape[-1]))
-            dev_goal = {"lang": lang}
-        else:
-            dev_goal = goal
-        action, self.carry = self._policy_step(
-            self.params,
-            tfd["rgb_obs"],
-            tfd["depth_obs"],
-            tfd["robot_obs"],
-            tfd["robot_obs_raw"],
-            dev_goal,
-            self.carry,
-            key,
-        )
-        act = np.array(action)  # host copy (writable)
-        act[..., -1] = np.where(act[..., -1] > 0, 1.0, -1.0)  # binarize gripper
+        act = np.asarray(self.step_async(obs, goal))  # blocks on the dispatch
         return act[0] if self.n_envs == 1 else act

@@ -74,6 +74,9 @@ def main(argv=None):
     p.add_argument("--lang-folder", default="lang_annotations")
     p.add_argument("--n-envs", type=int, default=1,
                    help="lockstep env instances per policy dispatch (batched eval)")
+    p.add_argument("--cohorts", type=int, default=1,
+                   help="split the env farm into C cohorts with overlapping TPU "
+                        "dispatches (hides dispatch latency behind host sim time)")
     args = p.parse_args(argv)
 
     from hulc2_tpu.envs.task_oracle import SceneObsTaskOracle
@@ -128,15 +131,23 @@ def main(argv=None):
         lang_embeddings, task_to_ann = load_lang_embeddings(args.dataset_path, args.lang_folder)
         if args.n_envs > 1:
             from hulc2_tpu.envs.calvin_wrapper import EnvFarm
-            from hulc2_tpu.evaluation.batched_eval import BatchedEvaluator
+            from hulc2_tpu.evaluation.batched_eval import PipelinedEvaluator
 
-            farm = EnvFarm([
-                CalvinEnvWrapper(make_calvin_env(args.dataset_path, show_gui=False))
-                for _ in range(args.n_envs)
-            ])
-            agent = Hulc2Agent(farm, model, params, cfg["datamodule"], stats, n_envs=args.n_envs)
+            n_cohorts = max(1, min(args.cohorts, args.n_envs))
+            per = args.n_envs // n_cohorts
+            sizes = [per + (1 if c < args.n_envs % n_cohorts else 0) for c in range(n_cohorts)]
+            cohorts, shared_step = [], None
+            for size in sizes:
+                farm = EnvFarm([
+                    CalvinEnvWrapper(make_calvin_env(args.dataset_path, show_gui=False))
+                    for _ in range(size)
+                ])
+                agent = Hulc2Agent(farm, model, params, cfg["datamodule"], stats,
+                                   n_envs=size, fused_step=shared_step)
+                shared_step = shared_step or agent._fused_step
+                cohorts.append((farm, agent))
             ann_to_emb = {task: lang_embeddings[ann] for task, ann in task_to_ann.items()}
-            ev = BatchedEvaluator(farm, agent, ann_to_emb, ep_len=args.ep_len, oracle=oracle)
+            ev = PipelinedEvaluator(cohorts, ann_to_emb, ep_len=args.ep_len, oracle=oracle)
             results = ev.evaluate(sequences=sequences)
             step = args.checkpoint if args.checkpoint is not None else "latest"
             merged = harness.print_and_save({str(step): results}, log_dir, sequences=sequences)

@@ -135,3 +135,35 @@ def make_policy_step(model: Hulc2) -> Callable:
         )
 
     return step_fn
+
+
+def make_fused_policy_step(model: Hulc2, transform: Callable) -> Callable:
+    """ONE dispatch per env step: obs transform + policy step + gripper
+    binarization in a single jitted program.
+
+    The reference's rollout path round-trips per-op (obs transforms on the
+    CPU, tensor conversion, model.step, action post-processing —
+    reference: hulc2/agents/lmp_agent.py:253-288, wrappers/hulc2_wrapper.py:64);
+    on a (possibly remote) TPU every eager op submission costs dispatch
+    latency, so the agent submits exactly one program per step and fetches
+    one small (B, 7) action array.
+
+    fn(params, raw_obs, goal, carry, key, step_idx) -> (action, new_carry)
+    """
+
+    @jax.jit
+    def step_fn(params, raw, goal, carry, key, step_idx):
+        key = jax.random.fold_in(key, step_idx)
+        tfd = transform(prng.stream(key, "obs"), raw)
+        action, new_carry = model.apply(
+            params, tfd["rgb_obs"], tfd["depth_obs"], tfd["robot_obs"],
+            tfd["robot_obs_raw"], goal, carry,
+            rngs={"sample": prng.stream(key, "sample")},
+            method=Hulc2.policy_step,
+        )
+        # binarize the gripper on device (reference: hulc2_wrapper.py:64-84)
+        grip = jnp.where(action[..., -1] > 0, 1.0, -1.0).astype(action.dtype)
+        action = jnp.concatenate([action[..., :-1], grip[..., None]], axis=-1)
+        return action, new_carry
+
+    return step_fn

@@ -10,7 +10,7 @@ from hulc2_tpu.core import config as cfg_lib
 from hulc2_tpu.agents.hulc2_agent import Hulc2Agent
 from hulc2_tpu.envs.calvin_wrapper import EnvFarm
 from hulc2_tpu.envs.fake_env import FakeCalvinEnv
-from hulc2_tpu.evaluation.batched_eval import BatchedEvaluator
+from hulc2_tpu.evaluation.batched_eval import BatchedEvaluator, PipelinedEvaluator
 from hulc2_tpu.evaluation.loading import init_params
 from hulc2_tpu.evaluation.sequences import get_sequences
 from hulc2_tpu.evaluation.tasks import TASK_NAMES
@@ -42,6 +42,28 @@ class TestBatchedEvaluator:
         results = ev.evaluate(sequences=sequences, progress=False)
         assert len(results) == 10
         # untrained policy on the symbolic env: chains end by step budget
+        assert all(r == 0 for r in results)
+
+    def test_pipelined_cohorts_schedule_all_chains(self):
+        """Two cohorts with overlapping dispatches drain the shared queue and
+        produce one result per chain (same scheduling semantics as the
+        single-cohort evaluator)."""
+        cfg = cfg_lib.compose("cfg_low_level", TINY)
+        model = build_policy(cfg["model"])
+        params = init_params(model, cfg)
+        cohorts, shared = [], None
+        for c in range(2):
+            farm = EnvFarm([FakeCalvinEnv(static_hw=64, gripper_hw=64, seed=10 * c + i)
+                            for i in range(2)])
+            agent = Hulc2Agent(farm, model, params, cfg["datamodule"], n_envs=2,
+                               fused_step=shared)
+            shared = shared or agent._fused_step
+            cohorts.append((farm, agent))
+        lang = {t: hash_embed([t])[0] for t in TASK_NAMES}
+        ev = PipelinedEvaluator(cohorts, lang, ep_len=2)
+        sequences = get_sequences(9)
+        results = ev.evaluate(sequences=sequences, progress=False)
+        assert len(results) == 9
         assert all(r == 0 for r in results)
 
     def test_per_env_carry_reset(self):
