@@ -41,6 +41,12 @@ def make_calvin_env(dataset_path=None, show_gui: bool = False, **kwargs):
     return get_env(dataset_path, show_gui=show_gui, **kwargs)
 
 
+def make_wrapped_calvin_env(dataset_path=None, show_gui: bool = False, **kwargs):
+    """Picklable factory: build + wrap a calvin env (for ProcessEnvFarm
+    workers, which construct the simulator inside the worker process)."""
+    return CalvinEnvWrapper(make_calvin_env(dataset_path, show_gui=show_gui, **kwargs))
+
+
 class CalvinEnvWrapper:
     """Thin adapter exposing the interface the agents/harness expect."""
 
@@ -114,6 +120,13 @@ class EnvFarm:
         results = [e.step(actions[i]) for i, e in enumerate(self.envs)]
         obs, rewards, dones, infos = zip(*results)
         return self.stack_obs(obs), np.asarray(rewards), np.asarray(dones), list(infos)
+
+    def step_all(self, actions: np.ndarray):
+        """Step every env; returns (obs_list, infos). Serial here — the
+        multiprocess ``ProcessEnvFarm`` overlaps these on worker processes."""
+        results = [e.step(actions[i]) for i, e in enumerate(self.envs)]
+        obs, _, _, infos = zip(*results)
+        return list(obs), list(infos)
 
     def get_obs(self):
         return self.stack_obs([e.get_obs() for e in self.envs])

@@ -10,6 +10,7 @@ without a simulator.
 """
 from __future__ import annotations
 
+import time
 from typing import Dict, Optional
 
 import numpy as np
@@ -29,13 +30,17 @@ _DRAWER_POS = np.array([0.15, -0.40, 0.38])
 
 
 class FakeCalvinEnv:
-    def __init__(self, static_hw: int = 200, gripper_hw: int = 84, seed: int = 0):
+    def __init__(self, static_hw: int = 200, gripper_hw: int = 84, seed: int = 0,
+                 step_delay_s: float = 0.0):
         self.static_hw = static_hw
         self.gripper_hw = gripper_hw
         self.rng = np.random.default_rng(seed)
         self.robot_obs = NEUTRAL_ROBOT_OBS.copy()
         self.scene_obs = np.zeros(24)
         self._held: Optional[str] = None
+        # emulated per-step simulator cost (benchmarking farm/pipelining
+        # schedules against a PyBullet-like ~10-20 ms step without PyBullet)
+        self.step_delay_s = step_delay_s
 
     # ---- calvin_env-compatible surface --------------------------------- #
     def reset(self, robot_obs=None, scene_obs=None):
@@ -47,6 +52,8 @@ class FakeCalvinEnv:
         return self.get_obs()
 
     def step(self, action):
+        if self.step_delay_s:
+            time.sleep(self.step_delay_s)
         # physics-free EE integration. Accepts both calvin_env action formats:
         # flat 7-d relative [dpos, dorn, gripper], or the (pos, orn, gripper)
         # absolute tuple emitted by the motion-primitive agents.

@@ -108,11 +108,9 @@ class _Cohort:
         self.pending = None
         if actions.ndim == 1:
             actions = actions[None]
-        infos = []
-        for i, env in enumerate(self.farm.envs):
-            o, _, _, info = env.step(actions[i])
-            self.obs[i] = o
-            infos.append(info)
+        # parallel across worker processes for ProcessEnvFarm, serial otherwise
+        obs_list, infos = self.farm.step_all(actions)
+        self.obs = list(obs_list)
         oracle = self.ev.oracle
         for i in range(self.k):
             job = self.jobs[i]

@@ -77,6 +77,9 @@ def main(argv=None):
     p.add_argument("--cohorts", type=int, default=1,
                    help="split the env farm into C cohorts with overlapping TPU "
                         "dispatches (hides dispatch latency behind host sim time)")
+    p.add_argument("--process-envs", action="store_true",
+                   help="give each simulator its own worker process so envs "
+                        "step in parallel on host cores (needs n-envs > 1)")
     args = p.parse_args(argv)
 
     from hulc2_tpu.envs.task_oracle import SceneObsTaskOracle
@@ -138,10 +141,20 @@ def main(argv=None):
             sizes = [per + (1 if c < args.n_envs % n_cohorts else 0) for c in range(n_cohorts)]
             cohorts, shared_step = [], None
             for size in sizes:
-                farm = EnvFarm([
-                    CalvinEnvWrapper(make_calvin_env(args.dataset_path, show_gui=False))
-                    for _ in range(size)
-                ])
+                if args.process_envs:
+                    from functools import partial
+
+                    from hulc2_tpu.envs.calvin_wrapper import make_wrapped_calvin_env
+                    from hulc2_tpu.envs.process_farm import ProcessEnvFarm
+
+                    farm = ProcessEnvFarm(
+                        [partial(make_wrapped_calvin_env, args.dataset_path)] * size
+                    )
+                else:
+                    farm = EnvFarm([
+                        CalvinEnvWrapper(make_calvin_env(args.dataset_path, show_gui=False))
+                        for _ in range(size)
+                    ])
                 agent = Hulc2Agent(farm, model, params, cfg["datamodule"], stats,
                                    n_envs=size, fused_step=shared_step)
                 shared_step = shared_step or agent._fused_step
