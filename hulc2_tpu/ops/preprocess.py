@@ -70,16 +70,23 @@ def random_shift(rng: jax.Array, imgs: jnp.ndarray, pad: int) -> jnp.ndarray:
     values are integers <= 255, so bf16 products/sums are EXACT — ~20x faster
     than the vmapped dynamic-slice lowering at full CALVIN batch size, which
     dominated the train step (29ms -> ~1.5ms of MXU time).
-    Output is float32 in the original value range.
+
+    The replicate pad is never materialized: cropping the edge-padded image
+    at offset o reads original index clamp(o + i - pad, 0, dim-1), so the
+    one-hot selections index the RAW image with clamped indices — exactly
+    equivalent, and it deletes the (N, H+2p, W+2p, C) uint8 pad-construction
+    chain (~5 ms and ~300 MB of HBM traffic at full CALVIN batch, measured
+    in the XLA trace). Output is float32 in the original value range.
     """
     n, h, w, c = imgs.shape
-    padded = jnp.pad(imgs, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="edge")
     offsets = jax.random.randint(rng, (n, 2), 0, 2 * pad + 1)
-    row_sel = jax.nn.one_hot(offsets[:, 0:1] + jnp.arange(h)[None, :], h + 2 * pad, dtype=jnp.bfloat16)
-    col_sel = jax.nn.one_hot(offsets[:, 1:2] + jnp.arange(w)[None, :], w + 2 * pad, dtype=jnp.bfloat16)
+    rows = jnp.clip(offsets[:, 0:1] + jnp.arange(h)[None, :] - pad, 0, h - 1)
+    cols = jnp.clip(offsets[:, 1:2] + jnp.arange(w)[None, :] - pad, 0, w - 1)
+    row_sel = jax.nn.one_hot(rows, h, dtype=jnp.bfloat16)
+    col_sel = jax.nn.one_hot(cols, w, dtype=jnp.bfloat16)
     # channels-major internally: keeps the minor-most dims at (H, W) so XLA
     # never materializes a tiled layout padded along a tiny C axis
-    x = jnp.transpose(padded, (0, 3, 1, 2)).astype(jnp.bfloat16)  # (N, C, H+2p, W+2p)
+    x = jnp.transpose(imgs, (0, 3, 1, 2)).astype(jnp.bfloat16)  # (N, C, H, W)
     x = jnp.einsum("nhp,ncpw->nchw", row_sel, x, preferred_element_type=jnp.bfloat16)
     x = jnp.einsum("nwq,nchq->nchw", col_sel, x, preferred_element_type=jnp.float32)
     return jnp.transpose(x, (0, 2, 3, 1))
