@@ -68,7 +68,12 @@ def main():
             d["use_for_aux_lang_loss"] = jnp.asarray(rng.rand(b) > 0.3)
         return d
 
-    raw_batch = {"vis": raw_mod_batch(False), "lang": raw_mod_batch(True)}
+    from hulc2_tpu.data.loader import fuse_batch_host
+
+    # pre-fused on host, like the production prefetch path
+    raw_batch = jax.tree_util.tree_map(
+        jnp.asarray, fuse_batch_host({"vis": raw_mod_batch(False), "lang": raw_mod_batch(True)})
+    )
 
     stats = DatasetStatistics()  # identity norm (synthetic data)
     tf = make_batch_transform(
@@ -80,9 +85,10 @@ def main():
 
     def init_fn():
         key = jax.random.PRNGKey(0)
-        tfd = {m: tf(key, raw_batch[m]) for m in raw_batch}
+        tfd = tf(key, raw_batch)
         return model.init(
-            {"params": key, "sample": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)}, tfd
+            {"params": key, "sample": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)},
+            tfd, 0.01, False, b,
         )
 
     state = create_train_state(init_fn, tx)

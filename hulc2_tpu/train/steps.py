@@ -38,8 +38,14 @@ def make_train_step(
         key = jax.random.fold_in(root_key, state.step)
         rngs = {"sample": prng.stream(key, "sample"), "dropout": prng.stream(key, "dropout")}
 
-        mods = [m for m in ("vis", "lang") if m in raw_batch]
-        if len(mods) == 2 and transforms["vis"] is transforms["lang"]:
+        mods = None if "actions" in raw_batch else [m for m in ("vis", "lang") if m in raw_batch]
+        if mods is None:
+            # host-prefused [vis; lang] batch (data.loader.fuse_batch_host):
+            # the uint8 concat already happened in the prefetch thread
+            batch = transforms["vis"](prng.stream(key, "aug"), raw_batch)
+            n_lang = raw_batch["lang"].shape[0] if "lang" in raw_batch else 0
+            fused_n_vis = raw_batch["actions"].shape[0] - n_lang
+        elif len(mods) == 2 and transforms["vis"] is transforms["lang"]:
             # fuse BEFORE the transform: concatenating raw uint8 frames is 4x
             # cheaper than concatenating transformed bf16 activations
             n_vis = raw_batch["vis"]["actions"].shape[0]

@@ -140,14 +140,20 @@ class Trainer:
             logger.info("epoch %d (kl_beta=%.5f)", epoch, float(kl_beta))
             t_epoch = time.time()
             n_samples = 0
-            from hulc2_tpu.data.loader import DevicePrefetcher
+            from hulc2_tpu.data.loader import DevicePrefetcher, fuse_modalities_host
 
-            it = DevicePrefetcher(self.dm.train_iter(), batch_sharding)
+            # fuse [vis; lang] on the host inside the prefetch thread — the
+            # device-side uint8 concat (~2 ms/step) disappears from the jit
+            it = DevicePrefetcher(fuse_modalities_host(self.dm.train_iter()), batch_sharding)
             last_metrics = {}
             for raw_batch in it:
                 state, metrics = train_step(state, raw_batch, root_key, kl_beta)
                 total_steps += 1
-                n_samples += sum(raw_batch[m]["actions"].shape[0] for m in raw_batch)
+                n_samples += (
+                    raw_batch["actions"].shape[0]
+                    if "actions" in raw_batch
+                    else sum(raw_batch[m]["actions"].shape[0] for m in raw_batch)
+                )
                 if total_steps % cfg.get("trainer", {}).get("log_every_n_steps", 50) == 0:
                     last_metrics = {k: float(v) for k, v in metrics.items()}
                     last_metrics["lr"] = optim.schedule_value(

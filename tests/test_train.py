@@ -105,3 +105,73 @@ class TestTrainerSmoke:
             state, metrics = train_step(state, batch, key, jnp.asarray(0.01))
             losses.append(float(metrics["loss"]))
         assert losses[-1] < losses[0], losses
+
+
+def test_host_prefused_batch_matches_per_modality():
+    """fuse_batch_host + the train step's prefused path produce the same loss
+    and gradients as the per-modality path (same rng streams)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    import hulc2_tpu.configs  # noqa: F401
+    from hulc2_tpu.core import config as cfg_lib
+    from hulc2_tpu.data.device_transforms import make_batch_transform
+    from hulc2_tpu.data.loader import fuse_batch_host
+    from hulc2_tpu.data.statistics import DatasetStatistics
+    from hulc2_tpu.models.build import build_policy
+    from hulc2_tpu.train import optim
+    from hulc2_tpu.train.state import create_train_state
+    from hulc2_tpu.train.steps import make_train_step
+
+    tiny = [
+        "model.plan_proposal.hidden_size=32",
+        "model.plan_recognition.encoder_hidden_size=32",
+        "model.plan_recognition.fc_hidden_size=32",
+        "model.action_decoder.hidden_size=32",
+        "model.visual_goal.hidden_size=32",
+        "model.language_goal.hidden_size=32",
+        "model.compute_dtype=float32",
+    ]
+    cfg = cfg_lib.compose("cfg_low_level", tiny)
+    model = build_policy(cfg["model"])
+    dm_cfg = cfg["datamodule"]
+    rng = np.random.RandomState(0)
+    b, s, hw = 2, 4, 40
+
+    def raw_mod(with_lang):
+        d = {
+            "rgb_static": rng.randint(0, 256, (b, s, hw, hw, 3)).astype(np.uint8),
+            "rgb_gripper": rng.randint(0, 256, (b, s, hw, hw, 3)).astype(np.uint8),
+            "robot_obs_raw": rng.randn(b, s, 15).astype(np.float32),
+            "actions": np.concatenate(
+                [np.clip(rng.randn(b, s, 6) * 0.3, -1, 1), np.sign(rng.randn(b, s, 1))], -1
+            ).astype(np.float32),
+        }
+        if with_lang:
+            d["lang"] = rng.randn(b, 384).astype(np.float32)
+            d["use_for_aux_lang_loss"] = rng.rand(b) > 0.3
+        return d
+
+    per_mod = {"vis": raw_mod(False), "lang": raw_mod(True)}
+    fused = fuse_batch_host(per_mod)
+
+    tf = make_batch_transform(
+        dm_cfg["observation_space"], dm_cfg["proprioception_dims"], DatasetStatistics(),
+        "play_basic", False,
+    )
+    tx = optim.make_optimizer(cfg["model"]["optimizer"], None, 100)
+    key = jax.random.PRNGKey(0)
+
+    def init_fn():
+        tfd = {m: tf(key, jax.tree_util.tree_map(jnp.asarray, per_mod[m])) for m in per_mod}
+        return model.init({"params": key, "sample": key, "dropout": key}, tfd)
+
+    state = create_train_state(init_fn, tx)
+    step = make_train_step(model, tx, {"vis": tf, "lang": tf}, 3.0, donate=False)
+    klb = jnp.asarray(0.01)
+
+    _, m_a = step(state, jax.tree_util.tree_map(jnp.asarray, per_mod), key, klb)
+    _, m_b = step(state, jax.tree_util.tree_map(jnp.asarray, fused), key, klb)
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m_a["grad_norm"]), float(m_b["grad_norm"]), rtol=1e-4)
