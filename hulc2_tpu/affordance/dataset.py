@@ -110,20 +110,19 @@ class AffordanceDataset:
 def jitter_label_and_image(rng, imgs, px, pad: int):
     """RandomShift that moves the image and its pixel label coherently
     (reference: affordance/datasets/transforms.py DistanceTransform /
-    RandomShift pair). imgs (B, H, W, C) float, px (B, 2). On device."""
+    RandomShift pair). imgs (B, H, W, C) float, px (B, 2). On device.
+
+    The crop runs as one-hot selection matmuls on the MXU
+    (``preprocess.shift_from_offsets``) — float32 selections, exact — instead
+    of per-frame dynamic slices (the gather lowering dominated the affordance
+    train step)."""
     import jax
     import jax.numpy as jnp
 
-    from hulc2_tpu.ops.preprocess import random_shift
+    from hulc2_tpu.ops.preprocess import shift_from_offsets
 
     n, h, w, _ = imgs.shape
     offsets = jax.random.randint(rng, (n, 2), 0, 2 * pad + 1)
-    # reproduce random_shift's crop with the same offsets
-    padded = jnp.pad(imgs, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="edge")
-
-    def crop(img, off):
-        return jax.lax.dynamic_slice(img, (off[0], off[1], 0), (h, w, img.shape[-1]))
-
-    shifted = jax.vmap(crop)(padded, offsets)
+    shifted = shift_from_offsets(offsets, imgs, pad, sel_dtype=jnp.float32)
     new_px = jnp.clip(px + pad - offsets, 0, jnp.asarray([h - 1, w - 1]))
     return shifted, new_px

@@ -78,16 +78,27 @@ def random_shift(rng: jax.Array, imgs: jnp.ndarray, pad: int) -> jnp.ndarray:
     chain (~5 ms and ~300 MB of HBM traffic at full CALVIN batch, measured
     in the XLA trace). Output is float32 in the original value range.
     """
+    offsets = jax.random.randint(rng, (imgs.shape[0], 2), 0, 2 * pad + 1)
+    return shift_from_offsets(offsets, imgs, pad)
+
+
+def shift_from_offsets(
+    offsets: jnp.ndarray, imgs: jnp.ndarray, pad: int, sel_dtype=jnp.bfloat16
+) -> jnp.ndarray:
+    """The one-hot selection-matmul crop for given per-frame ``offsets``
+    (each in [0, 2*pad]^2). ``sel_dtype=bfloat16`` is exact for integer
+    pixel values <= 255 (uint8 frames); pass ``float32`` for real-valued
+    images (still exact — every output element is a single one-hot product,
+    never a sum) at half MXU rate."""
     n, h, w, c = imgs.shape
-    offsets = jax.random.randint(rng, (n, 2), 0, 2 * pad + 1)
     rows = jnp.clip(offsets[:, 0:1] + jnp.arange(h)[None, :] - pad, 0, h - 1)
     cols = jnp.clip(offsets[:, 1:2] + jnp.arange(w)[None, :] - pad, 0, w - 1)
-    row_sel = jax.nn.one_hot(rows, h, dtype=jnp.bfloat16)
-    col_sel = jax.nn.one_hot(cols, w, dtype=jnp.bfloat16)
+    row_sel = jax.nn.one_hot(rows, h, dtype=sel_dtype)
+    col_sel = jax.nn.one_hot(cols, w, dtype=sel_dtype)
     # channels-major internally: keeps the minor-most dims at (H, W) so XLA
     # never materializes a tiled layout padded along a tiny C axis
-    x = jnp.transpose(imgs, (0, 3, 1, 2)).astype(jnp.bfloat16)  # (N, C, H, W)
-    x = jnp.einsum("nhp,ncpw->nchw", row_sel, x, preferred_element_type=jnp.bfloat16)
+    x = jnp.transpose(imgs, (0, 3, 1, 2)).astype(sel_dtype)  # (N, C, H, W)
+    x = jnp.einsum("nhp,ncpw->nchw", row_sel, x, preferred_element_type=sel_dtype)
     x = jnp.einsum("nwq,nchq->nchw", col_sel, x, preferred_element_type=jnp.float32)
     return jnp.transpose(x, (0, 2, 3, 1))
 

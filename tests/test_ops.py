@@ -262,3 +262,17 @@ class TestPallasShift:
         a = preprocess.random_shift(key, imgs, 6)
         b = preprocess.random_shift_slices(key, imgs, 6).astype(jnp.float32)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_shift_from_offsets_float_exact(self):
+        """float32 one-hot selections crop real-valued images exactly
+        (vs the padded dynamic-slice oracle with the same offsets)."""
+        rng_np = np.random.RandomState(9)
+        imgs = jnp.asarray(rng_np.rand(6, 36, 36, 3), jnp.float32)
+        offsets = jnp.asarray(rng_np.randint(0, 11, (6, 2)))
+        pad = 5
+        got = preprocess.shift_from_offsets(offsets, imgs, pad, sel_dtype=jnp.float32)
+        padded = jnp.pad(imgs, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="edge")
+        ref = jax.vmap(lambda im, off: jax.lax.dynamic_slice(im, (off[0], off[1], 0), (36, 36, 3)))(
+            padded, offsets
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
