@@ -203,8 +203,11 @@ class ProcessEnvFarm:
     stack_obs = staticmethod(EnvFarm.stack_obs)
 
     def close(self) -> None:
+        import shutil
+
         for e in self.envs:
             e.close()
+        shutil.rmtree(self._tmpdir, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -161,7 +161,12 @@ def main(argv=None):
                 cohorts.append((farm, agent))
             ann_to_emb = {task: lang_embeddings[ann] for task, ann in task_to_ann.items()}
             ev = PipelinedEvaluator(cohorts, ann_to_emb, ep_len=args.ep_len, oracle=oracle)
-            results = ev.evaluate(sequences=sequences)
+            try:
+                results = ev.evaluate(sequences=sequences)
+            finally:
+                for farm, _ in cohorts:
+                    if hasattr(farm, "close"):
+                        farm.close()
             step = args.checkpoint if args.checkpoint is not None else "latest"
             merged = harness.print_and_save({str(step): results}, log_dir, sequences=sequences)
             logger.info("evaluation wall-clock: %.1f s", time.time() - t0)
