@@ -131,7 +131,9 @@ class Hulc2Agent(BaseAgent):
         while host simulators step."""
         raw = self._obs_to_device(obs)
         if "lang" in goal:
-            lang = np.asarray(goal["lang"], np.float32)
+            lang = np.asarray(goal["lang"])  # embeddings (f32) or BPE token ids (int)
+            if lang.dtype.kind == "f":
+                lang = lang.astype(np.float32)
             if lang.ndim == 1:
                 lang = np.broadcast_to(lang[None], (self.n_envs, lang.shape[-1]))
             dev_goal = {"lang": jnp.asarray(lang)}

@@ -127,6 +127,39 @@ register(
     "default",
     {"hidden_size": 2048, "latent_goal_features": 32, "l2_normalize_goal_embeddings": False},
 )
+# reference group: conf/model/language_encoder/{default,sbert,none}.yaml —
+# "none" feeds precomputed sentence embeddings straight to the goal encoder
+# (our default; identical outputs to the reference's frozen sbert tower),
+# "mlp" is the reference default.yaml trainable MLP over embeddings, "clip"
+# is the in-graph CLIP text transformer over BPE token ids with gradients
+# flowing through the tower (pair with datamodule.load_lang_embeddings=false)
+register("model/language_encoder", "none", {"_name_": "none"})
+register(
+    "model/language_encoder",
+    "mlp",
+    {
+        "_name_": "lang_mlp",
+        "out_features": 256,
+        "hidden_size": 2048,
+        "word_dropout_p": 0.0,
+        "activation_function": "ReLU",
+    },
+)
+register(
+    "model/language_encoder",
+    "clip",
+    {
+        "_name_": "clip_text",
+        "width": 512,
+        "heads": 8,
+        "layers": 12,
+        "output_dim": 1024,
+        "vocab_size": 49408,
+        "context_length": 77,
+        "frozen": False,
+    },
+)
+
 register(
     "model/language_goal",
     "default",
@@ -199,6 +232,7 @@ register(
             ("model/distribution", "discrete"),
             ("model/visual_goal", "default"),
             ("model/language_goal", "default"),
+            ("model/language_encoder", "none"),
             ("model/action_decoder", "logistic_decoder_rnn_calvin"),
             ("model/optimizer", "adam"),
             ("model/lr_scheduler", "constant"),
@@ -224,6 +258,7 @@ register(
             ("model/distribution", "discrete"),
             ("model/visual_goal", "default"),
             ("model/language_goal", "default"),
+            ("model/language_encoder", "none"),
             ("model/action_decoder", "logistic_decoder_rnn_calvin"),
             ("model/optimizer", "adam"),
             ("model/lr_scheduler", "constant"),
@@ -398,6 +433,7 @@ register(
             ("model/distribution", "discrete"),
             ("model/visual_goal", "default"),
             ("model/language_goal", "default"),
+            ("model/language_encoder", "none"),
             ("model/action_decoder", "logistic_decoder_rnn_real_world"),
             ("model/optimizer", "adam"),
             ("model/lr_scheduler", "constant"),

@@ -128,7 +128,9 @@ class RandomDataModule:
         for split in ("training", "validation"):
             n = self.n if split == "training" else max(self.n // 8, 2)
             self.datasets[f"vis_{split}"] = RandomWindowDataset(n, s, with_lang=False, seed=self.seed)
-            self.datasets[f"lang_{split}"] = RandomWindowDataset(n, s, with_lang=True, seed=self.seed + 1)
+            self.datasets[f"lang_{split}"] = RandomWindowDataset(
+                n, s, with_lang=True, seed=self.seed + 1,
+                lang_tokens=self.cfg.get("synthetic_lang_tokens", False))
 
     def _loader(self, key, split, shuffle):
         bs = self.cfg.get(f"batch_size_{key}", 32)

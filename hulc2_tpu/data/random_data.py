@@ -21,6 +21,7 @@ class RandomWindowDataset:
         action_dim: int = 7,
         lang_dim: int = 384,
         with_lang: bool = False,
+        lang_tokens: bool = False,  # emit CLIP BPE-style token ids (in-loop tower)
         with_depth: bool = False,
         seed: int = 0,
     ):
@@ -31,6 +32,7 @@ class RandomWindowDataset:
         self.action_dim = action_dim
         self.lang_dim = lang_dim
         self.with_lang = with_lang
+        self.lang_tokens = lang_tokens
         self.with_depth = with_depth
         self.seed = seed
 
@@ -53,6 +55,13 @@ class RandomWindowDataset:
             out["depth_static"] = rng.random((s, self.static_hw, self.static_hw), np.float32)
             out["depth_gripper"] = rng.random((s, self.gripper_hw, self.gripper_hw), np.float32)
         if self.with_lang:
-            out["lang"] = rng.standard_normal(self.lang_dim).astype(np.float32)
+            if self.lang_tokens:
+                toks = np.zeros(77, np.int32)
+                n = rng.integers(4, 12)
+                toks[0], toks[n - 1] = 49406, 49407
+                toks[1 : n - 1] = rng.integers(1, 49000, n - 2)
+                out["lang"] = toks
+            else:
+                out["lang"] = rng.standard_normal(self.lang_dim).astype(np.float32)
             out["use_for_aux_lang_loss"] = np.bool_(rng.random() > 0.5)
         return out

@@ -50,6 +50,7 @@ class WindowDataset:
         self.index = index
         self.store = store
         self.obs_space = observation_space
+        self._lang_tokens = None  # lazy CLIP-BPE table for string annotations
         self.pad = pad
         self.relative_actions = "rel_actions" in observation_space["actions"]
         self.action_key = observation_space["actions"][0]
@@ -86,7 +87,20 @@ class WindowDataset:
 
         if self.index.with_lang:
             ann_row = int(self.index.lang_lookup[idx])
-            emb = self.index.lang_ann[ann_row]
-            out["lang"] = np.asarray(emb, np.float32)
+            out["lang"] = self._lang_value(ann_row)
             out["use_for_aux_lang_loss"] = np.bool_(self.index.use_for_aux_lang_loss(idx))
         return out
+
+    def _lang_value(self, ann_row: int) -> np.ndarray:
+        """Precomputed embedding (E,) f32 — or, when the index loaded raw
+        annotation strings (load_lang_embeddings=False, the reference's
+        default in-loop-language-tower path, npz_dataset.py:178-181), CLIP
+        BPE token ids (77,) int32 tokenized once per unique annotation."""
+        ann = self.index.lang_ann[ann_row]
+        if isinstance(ann, str) or self.index.lang_ann.dtype == object:
+            if self._lang_tokens is None:
+                from hulc2_tpu.utils.clip_tokenizer import tokenize
+
+                self._lang_tokens = tokenize([str(a) for a in self.index.lang_ann])
+            return self._lang_tokens[ann_row]
+        return np.asarray(ann, np.float32)

@@ -46,9 +46,16 @@ def dummy_model_batch(cfg: dict, b: int = 1, s: int = 2):
         "actions": jnp.zeros((b, s, dm["action_space"]), jnp.float32),
         "robot_obs_raw": jnp.zeros((b, s, 15), jnp.float32),
     }
+    le = cfg["model"].get("language_encoder") or {}
+    if le.get("_name_") == "clip_text":  # in-graph tower: "lang" is token ids
+        lang_value = jnp.zeros((b, le.get("context_length", 77)), jnp.int32)
+    else:
+        lang_value = jnp.zeros(
+            (b, cfg["model"].get("language_goal", {}).get("in_features", 384)), jnp.float32
+        )
     lang = {
         **jax.tree_util.tree_map(lambda x: x, batch),
-        "lang": jnp.zeros((b, cfg["model"].get("language_goal", {}).get("in_features", 384)), jnp.float32),
+        "lang": lang_value,
         "use_for_aux_lang_loss": jnp.zeros((b,), bool),
     }
     return {"vis": batch, "lang": lang}

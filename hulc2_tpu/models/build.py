@@ -175,6 +175,38 @@ def build_action_decoder(ad_cfg: dict, dtype) -> LogisticPolicyDecoder:
     raise ValueError(kind)
 
 
+def build_lang_net(cfg: Optional[dict], dtype):
+    """model/language_encoder group -> optional in-graph language network
+    (reference groups conf/model/language_encoder/*: none / trainable MLP /
+    text tower; the clip variant consumes BPE token ids)."""
+    if not cfg or cfg.get("_name_") in (None, "none"):
+        return None
+    name = cfg["_name_"]
+    if name == "lang_mlp":
+        from hulc2_tpu.models.goal_encoders import LanguageEncoderMLP
+
+        return LanguageEncoderMLP(
+            out_features=cfg.get("out_features", 256),
+            hidden_size=cfg.get("hidden_size", 2048),
+            word_dropout_p=cfg.get("word_dropout_p", 0.0),
+            activation_function=cfg.get("activation_function", "ReLU"),
+            dtype=dtype,
+        )
+    if name == "clip_text":
+        from hulc2_tpu.models.clip_text import ClipTextTransformer
+
+        return ClipTextTransformer(
+            vocab_size=cfg.get("vocab_size", 49408),
+            context_length=cfg.get("context_length", 77),
+            width=cfg.get("width", 512),
+            heads=cfg.get("heads", 8),
+            layers=cfg.get("layers", 12),
+            output_dim=cfg.get("output_dim", 1024),
+            frozen=cfg.get("frozen", False),
+        )
+    raise ValueError(f"unknown language_encoder {name}")
+
+
 def build_policy(model_cfg: dict) -> Hulc2:
     """Assemble the full HULC2 (or GCBC) policy model from a model config."""
     dtype = _dtype(model_cfg)
@@ -217,6 +249,7 @@ def build_policy(model_cfg: dict) -> Hulc2:
             dtype=dtype,
         ),
         language_goal=lang_goal,
+        lang_net=build_lang_net(model_cfg.get("language_encoder"), dtype),
         action_decoder=build_action_decoder(model_cfg["action_decoder"], dtype),
         proj_vis_lang=ProjVisLang(
             output_dim=model_cfg.get("proj_vis_lang", {}).get("output_dim", 32), dtype=dtype

@@ -56,6 +56,12 @@ class Hulc2(nn.Module):
     action_decoder: LogisticPolicyDecoder
     proj_vis_lang: Optional[nn.Module]
     dist: PlanDistribution
+    # optional in-graph language network applied to the batch "lang" value
+    # BEFORE the goal encoder (reference: hulc2.py:87-89 lang_encoder nested
+    # into LanguageGoalEncoder; model/language_encoder group): the trainable
+    # MLP over precomputed embeddings, or the CLIP text tower over BPE token
+    # ids (backprop through the tower — BASELINE config #3)
+    lang_net: Optional[nn.Module] = None
     kl_balancing_mix: float = 0.8
     use_clip_auxiliary_loss: bool = True
     use_plan: bool = True  # False => GCBC baseline
@@ -78,6 +84,14 @@ class Hulc2(nn.Module):
     # ------------------------------------------------------------------ #
     def encode(self, rgb_obs, depth_obs, robot_obs, deterministic: bool = True):
         return self.perceptual_encoder(rgb_obs, depth_obs, robot_obs, deterministic)
+
+    def apply_lang_net(self, lang_value, deterministic: bool = True):
+        """Batch "lang" value -> language embedding: identity for precomputed
+        embeddings, or the in-graph language network (MLP over embeddings /
+        CLIP text tower over token ids)."""
+        if lang_value is None or self.lang_net is None:
+            return lang_value
+        return self.lang_net(lang_value, deterministic=deterministic)
 
     def encode_goals(self, perceptual_emb, lang_emb, n_vis: int, deterministic: bool = True):
         """Visual goals for the first ``n_vis`` rows, language goals for the rest."""
@@ -137,6 +151,7 @@ class Hulc2(nn.Module):
             lang_emb = batch["lang"]["lang"] if "lang" in batch else None
             splits = _split_sizes(batch, mods)
 
+        lang_emb = self.apply_lang_net(lang_emb, deterministic)
         perceptual_emb = self.encode(rgb_obs, depth_obs, robot_obs, deterministic)
         latent_goal = self.encode_goals(perceptual_emb, lang_emb, n_vis, deterministic)
 
@@ -266,6 +281,7 @@ class Hulc2(nn.Module):
         robot_obs, actions, robot_obs_raw = cat("robot_obs"), cat("actions"), cat("robot_obs_raw")
         lang_emb = batch["lang"]["lang"] if "lang" in batch else None
 
+        lang_emb = self.apply_lang_net(lang_emb)
         emb = self.encode(rgb_obs, depth_obs, robot_obs, deterministic=True)
         latent_goal = self.encode_goals(emb, lang_emb, n_vis, deterministic=True)
         pp_state = self.plan_proposal(emb[:, 0], latent_goal)
@@ -344,7 +360,8 @@ class Hulc2(nn.Module):
         emb = self.encode(rgb_obs, depth_obs, robot_obs, deterministic=True)
 
         if "lang" in goal:
-            latent_goal = self.language_goal(goal["lang"], deterministic=True)
+            lang_emb = self.apply_lang_net(goal["lang"])
+            latent_goal = self.language_goal(lang_emb, deterministic=True)
         else:
             g_rgb = {k: goal["rgb_obs"][k] for k in rgb_obs}
             g_depth = {k: goal["depth_obs"][k] for k in depth_obs}

@@ -42,6 +42,8 @@ def train(config_name: str = "cfg_low_level", overrides=(), max_epochs=None, max
     run_dir = Path(run_dir) if run_dir else make_run_dir(cfg.get("log_dir", "runs"), overrides)
 
     dm_cls = RandomDataModule if synthetic else Hulc2DataModule
+    if synthetic and (cfg["model"].get("language_encoder") or {}).get("_name_") == "clip_text":
+        cfg["datamodule"]["synthetic_lang_tokens"] = True  # tower consumes token ids
     dm = dm_cls(
         cfg["datamodule"],
         seed=cfg.get("seed", 42),
