@@ -1,0 +1,45 @@
+"""Full-protocol-budget eval wall-clock measurement (BASELINE north star:
+1000-chain CALVIN eval < 1 h).
+
+Runs N chains (default 100) at the reference protocol budget (ep_len=360,
+5 subtasks/chain) against the symbolic fake env with an untrained policy --
+the WORST case: every subtask exhausts its full 360-step budget, so measured
+wall-clock upper-bounds a real eval of the same chain count.
+
+Measured (tunneled v5e, K=64): 100 chains in 4.1 min (733 env-steps/s)
+-> ~41 min extrapolated for 1000 chains, under the 1 h target even with
+~60 ms/dispatch tunnel latency; a locally attached chip (~2 ms dispatch)
+is sim-bound instead (use --process-envs there).
+"""
+import os, sys, time
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+import numpy as np
+import hulc2_tpu.configs
+from hulc2_tpu.core import config as cfg_lib
+from hulc2_tpu.agents.hulc2_agent import Hulc2Agent
+from hulc2_tpu.envs.calvin_wrapper import EnvFarm
+from hulc2_tpu.envs.fake_env import FakeCalvinEnv
+from hulc2_tpu.evaluation.batched_eval import BatchedEvaluator
+from hulc2_tpu.evaluation.loading import init_params
+from hulc2_tpu.evaluation.sequences import get_sequences
+from hulc2_tpu.evaluation.tasks import TASK_NAMES
+from hulc2_tpu.tools.auto_lang_annotator import hash_embed
+from hulc2_tpu.models.build import build_policy
+
+K = 64
+cfg = cfg_lib.compose("cfg_low_level")
+model = build_policy(cfg["model"])
+params = init_params(model, cfg)
+lang = {t: hash_embed([t])[0] for t in TASK_NAMES}
+farm = EnvFarm([FakeCalvinEnv(static_hw=200, gripper_hw=84, seed=i) for i in range(K)])
+agent = Hulc2Agent(farm, model, params, cfg["datamodule"], n_envs=K)
+g = np.stack([lang[TASK_NAMES[0]]] * K)
+agent.step(farm.get_obs(), {"lang": g})  # compile
+ev = BatchedEvaluator(farm, agent, lang, ep_len=360)
+seqs = get_sequences(int(os.environ.get("CHAINS", "100")))
+t0 = time.time()
+results = ev.evaluate(sequences=seqs, progress=True)
+dt = time.time() - t0
+n_steps = len(seqs) * 5 * 360  # worst case: untrained policy always times out
+print(f"{len(seqs)} chains, ep_len=360, K=64: {dt/60:.1f} min "
+      f"({n_steps/dt:.0f} env-steps/s) -> 1000-chain extrapolation ~{dt*(1000/len(seqs))/60:.0f} min", flush=True)

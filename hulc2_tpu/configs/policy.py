@@ -134,6 +134,10 @@ register(
 # is the in-graph CLIP text transformer over BPE token ids with gradients
 # flowing through the tower (pair with datamodule.load_lang_embeddings=false)
 register("model/language_encoder", "none", {"_name_": "none"})
+# reference sbert.yaml freezes the backbone (freeze_backbone: True), so the
+# tower computes exactly the embeddings the annotator precomputed — served
+# from auto_lang_ann.npy without re-running BERT every step
+register("model/language_encoder", "sbert", {"_name_": "none"})
 register(
     "model/language_encoder",
     "mlp",

@@ -217,3 +217,13 @@ class TestAuxLosses:
         )
         state2, metrics = step(state, batch, jax.random.PRNGKey(0), jnp.asarray(0.01))
         assert float(metrics["loss"]) > float(metrics["total_loss"])
+
+
+    def test_sbert_group_alias_serves_precomputed_embeddings(self):
+        """model/language_encoder=sbert (reference group name) maps to the
+        precomputed-embedding path: the reference sbert tower is frozen, so
+        its output equals the annotator-precomputed embeddings."""
+        from hulc2_tpu.models.build import build_policy as bp
+
+        cfg = cfg_lib.compose("cfg_low_level", ["model/language_encoder=sbert"])
+        assert bp(cfg["model"]).lang_net is None
