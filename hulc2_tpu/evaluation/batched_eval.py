@@ -62,7 +62,7 @@ class _Cohort:
         self.ev = evaluator
         self.k = len(farm)
         self.jobs: List[Optional[_EnvJob]] = [None] * self.k
-        self.goals = np.zeros((self.k, evaluator.goal_dim), np.float32)
+        self.goals = np.zeros((self.k, evaluator.goal_dim), evaluator.goal_dtype)
         self.pending = None  # in-flight device action array
         # per-env latest observation, reused for the next dispatch so each
         # env renders exactly ONCE per step (env.step/reset already return
@@ -156,7 +156,11 @@ class PipelinedEvaluator:
         self.oracle = oracle or SceneObsTaskOracle()
         self.lang = lang_embeddings
         self.task_to_ann = task_to_annotation or {}
-        self.goal_dim = int(np.asarray(next(iter(lang_embeddings.values()))).shape[-1])
+        sample_goal = np.asarray(next(iter(lang_embeddings.values())))
+        self.goal_dim = int(sample_goal.shape[-1])
+        # float32 sentence embeddings, or int32 BPE token ids for policies
+        # with the in-graph language tower
+        self.goal_dtype = sample_goal.dtype
         self.cohorts = [_Cohort(farm, agent, self) for farm, agent in cohorts]
         # shared job queue state (set per evaluate() call)
         self.sequences: Sequence = []
@@ -179,7 +183,7 @@ class PipelinedEvaluator:
 
     def goal_for(self, subtask: str) -> np.ndarray:
         key = self.task_to_ann.get(subtask, subtask)
-        return np.asarray(self.lang[key], np.float32)
+        return np.asarray(self.lang[key], self.goal_dtype)
 
     # ---- main loop ----------------------------------------------------- #
     def evaluate(self, num_sequences: int = 1000, sequences=None, progress: bool = True) -> List[int]:

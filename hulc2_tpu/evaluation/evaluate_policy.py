@@ -159,7 +159,13 @@ def main(argv=None):
                                    n_envs=size, fused_step=shared_step)
                 shared_step = shared_step or agent._fused_step
                 cohorts.append((farm, agent))
-            ann_to_emb = {task: lang_embeddings[ann] for task, ann in task_to_ann.items()}
+            if (cfg["model"].get("language_encoder") or {}).get("_name_") == "clip_text":
+                # in-graph tower: goals are BPE token ids of the annotations
+                from hulc2_tpu.utils.clip_tokenizer import tokenize
+
+                ann_to_emb = {task: tokenize([ann])[0] for task, ann in task_to_ann.items()}
+            else:
+                ann_to_emb = {task: lang_embeddings[ann] for task, ann in task_to_ann.items()}
             ev = PipelinedEvaluator(cohorts, ann_to_emb, ep_len=args.ep_len, oracle=oracle)
             try:
                 results = ev.evaluate(sequences=sequences)

@@ -40,18 +40,28 @@ def main(argv=None):
     model, params, cfg = load_policy(args.train_dir)
     oracle = SceneObsTaskOracle()
 
+    # models with the in-graph CLIP text tower take BPE token ids for FREE
+    # instructions (no precomputed-embedding table needed)
+    has_tower = (cfg["model"].get("language_encoder") or {}).get("_name_") == "clip_text"
+    if has_tower:
+        from hulc2_tpu.utils.clip_tokenizer import tokenize
+
+        embed = lambda s: tokenize([s])[0]
+    else:
+        embed = lambda s: hash_embed([s])[0]
+
     if args.fake_env:
         from hulc2_tpu.envs.fake_env import FakeCalvinEnv
 
         env = FakeCalvinEnv()
-        embed = lambda s: hash_embed([s])[0]
     else:
         from hulc2_tpu.envs.calvin_wrapper import CalvinEnvWrapper, make_calvin_env
         from hulc2_tpu.evaluation.evaluate_policy import load_lang_embeddings
 
         env = CalvinEnvWrapper(make_calvin_env(args.dataset_path, show_gui=False))
-        table, _ = load_lang_embeddings(args.dataset_path, args.lang_folder)
-        embed = lambda s: table.get(s, hash_embed([s])[0])
+        if not has_tower:
+            table, _ = load_lang_embeddings(args.dataset_path, args.lang_folder)
+            embed = lambda s: table.get(s, hash_embed([s])[0])
 
     agent = Hulc2Agent(env, model, params, cfg["datamodule"])
     env.reset()
