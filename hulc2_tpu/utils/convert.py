@@ -284,10 +284,33 @@ def convert_hulc2_checkpoint(state_dict: Mapping, model_cfg: dict) -> Dict[str, 
     }
     if any(k.startswith("language_goal.") for k in sd):
         params["language_goal"] = goal_encoder(sd, "language_goal", has_dropout_front=True)
+    if any(k.startswith("lang_encoder.mlp.") for k in sd):
+        # model/language_encoder=default: the trainable LanguageEncoder MLP
+        # (reference: hulc2/models/encoders/lang_encoder.py:16-23 — Sequential
+        # [dropout, fc, act, fc, act, fc], nested via language_goal.lang_net)
+        params["lang_net"] = {
+            "fc0": linear(sd, "lang_encoder.mlp.1"),
+            "fc1": linear(sd, "lang_encoder.mlp.3"),
+            "fc2": linear(sd, "lang_encoder.mlp.5"),
+        }
     if "logit_scale" in sd:
         params["logit_scale"] = _t(sd["logit_scale"]).reshape(())
         params["proj_vis_lang"] = proj_vis_lang(sd, "proj_vis_lang")
     return {"params": params}
+
+
+def load_clip_text_into_lang_net(params: Dict[str, Any], clip_sd: Mapping) -> Dict[str, Any]:
+    """Insert an OpenAI CLIP checkpoint's text tower into a policy params
+    tree as ``lang_net`` (model/language_encoder=clip). ``clip_sd`` is the
+    full CLIP state_dict (visual.* keys ignored); returns the updated tree."""
+    from hulc2_tpu.models.clip_text import convert_clip_text
+
+    text_sd = {k: v for k, v in clip_sd.items() if not k.startswith("visual.")}
+    tower_params, _ = convert_clip_text(text_sd)
+    out = dict(params)
+    out["params"] = dict(params["params"])
+    out["params"]["lang_net"] = tower_params
+    return out
 
 
 def load_lightning_checkpoint(path: str):

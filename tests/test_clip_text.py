@@ -277,3 +277,76 @@ class TestInLoopLanguageTower:
         sample = ds[2]
         assert sample["lang"].dtype == np.int32 and sample["lang"].shape == (77,)
         assert sample["lang"][0] == 49406  # SOT
+
+
+class TestLangNetConverters:
+    def test_lang_encoder_mlp_parity(self):
+        """Reference LanguageEncoder MLP (model/language_encoder=default) vs
+        LanguageEncoderMLP with converted weights."""
+        torch = pytest.importorskip("torch")
+        _install_reference_namespace()
+        import importlib
+
+        lang_mod = importlib.import_module("hulc2.models.encoders.lang_encoder")
+        torch.manual_seed(0)
+        ref = lang_mod.LanguageEncoder(384, 64, 32, 0.0, "ReLU").eval()
+
+        from hulc2_tpu.models.goal_encoders import LanguageEncoderMLP
+        from hulc2_tpu.utils.convert import linear
+
+        sd = ref.state_dict()
+        params = {
+            "fc0": linear(sd, "mlp.1"),
+            "fc1": linear(sd, "mlp.3"),
+            "fc2": linear(sd, "mlp.5"),
+        }
+        mine = LanguageEncoderMLP(out_features=32, hidden_size=64)
+        x = np.random.RandomState(0).randn(4, 384).astype(np.float32)
+        with torch.no_grad():
+            want = ref(torch.from_numpy(x)).numpy()
+        got = mine.apply({"params": params}, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+    def test_load_clip_text_into_policy_params(self):
+        """An OpenAI CLIP state_dict's text side drops into a built policy's
+        lang_net slot and the policy step runs with token goals."""
+        torch = pytest.importorskip("torch")
+        ref = TestClipTextTransformerParity()._tiny_reference_clip()
+
+        import hulc2_tpu.configs  # noqa: F401
+        from hulc2_tpu.core import config as cfg_lib
+        from hulc2_tpu.evaluation.loading import init_params
+        from hulc2_tpu.models.build import build_policy
+        from hulc2_tpu.utils.convert import load_clip_text_into_lang_net
+
+        cfg = cfg_lib.compose(
+            "cfg_low_level",
+            [
+                "model/language_encoder=clip",
+                "model.language_encoder.layers=2",
+                "model.language_encoder.width=32",
+                "model.language_encoder.heads=2",
+                "model.language_encoder.vocab_size=64",
+                "model.language_encoder.context_length=12",
+                "model.language_encoder.output_dim=32",
+                "model.plan_proposal.hidden_size=32",
+                "model.plan_recognition.encoder_hidden_size=32",
+                "model.plan_recognition.fc_hidden_size=32",
+                "model.action_decoder.hidden_size=32",
+                "model.visual_goal.hidden_size=32",
+                "model.language_goal.hidden_size=32",
+                "model.compute_dtype=float32",
+            ],
+        )
+        model = build_policy(cfg["model"])
+        params = init_params(model, cfg)
+        merged = load_clip_text_into_lang_net(params, ref.state_dict())
+
+        tokens = np.zeros((1, 12), np.int64)
+        tokens[0, 0], tokens[0, 1], tokens[0, 2] = 60, 5, 63
+        with torch.no_grad():
+            want = ref.encode_text(torch.from_numpy(tokens)).numpy()
+        got = model.apply(
+            merged, jnp.asarray(tokens, jnp.int32), method=lambda m, t: m.apply_lang_net(t)
+        )
+        np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
