@@ -125,6 +125,47 @@ def _has_flax_weights(model_path) -> bool:
     return p.is_dir() and any((p / n).exists() for n in ("flax_model.msgpack",))
 
 
+class OfflineClipTextEncoder:
+    """Self-contained CLIP text encoder: the in-repo BPE tokenizer
+    (``utils.clip_tokenizer``, vendored OpenAI vocab asset) + the flax text
+    transformer (``models.clip_text``), loading weights from an OpenAI CLIP
+    checkpoint file (``state_dict`` .pt) — no HuggingFace assets required.
+    Without a checkpoint the tower runs randomly initialized (shape/smoke
+    use only)."""
+
+    def __init__(self, ckpt_path: Optional[str] = None, **tower_kwargs):
+        import jax
+
+        from hulc2_tpu.models.clip_text import ClipTextTransformer, convert_clip_text
+        from hulc2_tpu.utils.clip_tokenizer import default_tokenizer
+
+        self.tokenizer = default_tokenizer()
+        if ckpt_path is not None:
+            import torch
+
+            sd = torch.load(ckpt_path, map_location="cpu")
+            sd = sd.get("state_dict", sd)
+            params, kwargs = convert_clip_text(
+                {k: v for k, v in sd.items() if not k.startswith("visual.")}
+            )
+            self.model = ClipTextTransformer(**{**kwargs, **tower_kwargs})
+            self.params = {"params": params}
+        else:
+            self.model = ClipTextTransformer(**tower_kwargs)
+            import numpy as _np
+
+            dummy = _np.zeros((1, self.model.context_length), _np.int32)
+            self.params = self.model.init(jax.random.PRNGKey(0), dummy)
+
+    def encode_text(self, sentences: Sequence[str]):
+        toks = self.tokenizer(list(sentences), self.model.context_length)
+        emb = self.model.apply(self.params, toks)
+        return np.asarray(emb), None, None
+
+    def __call__(self, sentences):
+        return self.encode_text(sentences)[0]
+
+
 def build_lang_encoder(kind: str, model_path: Optional[str] = None, embeddings_path=None):
     """Factory over the reference's language_encoder zoo."""
     if kind == "precomputed":
@@ -133,6 +174,8 @@ def build_lang_encoder(kind: str, model_path: Optional[str] = None, embeddings_p
         return SBertEncoder(model_path or "sentence-transformers/paraphrase-MiniLM-L3-v2")
     if kind == "clip":
         return ClipTextEncoder(model_path or "openai/clip-vit-base-patch32")
+    if kind == "clip_offline":
+        return OfflineClipTextEncoder(model_path)
     if kind in ("bert", "distilbert"):
         return BertEncoder(model_path or ("distilbert-base-uncased" if kind == "distilbert" else "bert-base-uncased"))
     raise ValueError(kind)

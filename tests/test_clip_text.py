@@ -350,3 +350,16 @@ class TestLangNetConverters:
             merged, jnp.asarray(tokens, jnp.int32), method=lambda m, t: m.apply_lang_net(t)
         )
         np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+
+
+def test_offline_clip_text_encoder_interface():
+    """Self-contained host-side encode_text (no HF assets): in-repo tokenizer
+    + flax tower, matching the language-encoder zoo interface."""
+    from hulc2_tpu.models.language import OfflineClipTextEncoder
+
+    enc = OfflineClipTextEncoder(None, layers=1, width=32, heads=2, output_dim=16,
+                                 context_length=16)
+    emb, toks, mask = enc.encode_text(["open the drawer", "push the red block"])
+    assert emb.shape == (2, 16) and emb.dtype == np.float32
+    same = enc(["open the drawer"])
+    np.testing.assert_allclose(same[0], emb[0], atol=1e-6)
