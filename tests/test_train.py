@@ -175,3 +175,38 @@ def test_host_prefused_batch_matches_per_modality():
     _, m_b = step(state, jax.tree_util.tree_map(jnp.asarray, fused), key, klb)
     np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]), rtol=1e-5)
     np.testing.assert_allclose(float(m_a["grad_norm"]), float(m_b["grad_norm"]), rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_preemption_signal_checkpoints_at_step_edge(tmp_path):
+    """SURVEY §5 failure-detection semantics: a SIGUSR1 mid-epoch makes the
+    trainer checkpoint at the next step boundary and stop cleanly (the
+    slurm-requeue contract; reference: sbatch timeout + auto-resume)."""
+    import os
+    import signal
+    import threading
+
+    from hulc2_tpu.training import train
+
+    run_dir = tmp_path / "preempt"
+    timer = threading.Timer(0.5, lambda: os.kill(os.getpid(), signal.SIGUSR1))
+
+    from hulc2_tpu.train import trainer as trainer_mod
+
+    orig_fit = trainer_mod.Trainer.fit
+
+    def fit_with_signal(self, *a, **k):
+        timer.start()
+        return orig_fit(self, *a, **k)
+
+    trainer_mod.Trainer.fit = fit_with_signal
+    try:
+        # no max_steps: only the preemption signal can end the epoch early
+        state = train("cfg_low_level", SMALL_OVERRIDES, max_epochs=1, synthetic=True,
+                      run_dir=run_dir)
+    finally:
+        trainer_mod.Trainer.fit = orig_fit
+        timer.cancel()
+    saved = list((run_dir / "saved_models").iterdir())
+    assert saved, "preemption did not write a checkpoint"
+    assert int(state.step) < 64  # stopped well before the full epoch
