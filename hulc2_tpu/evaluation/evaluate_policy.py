@@ -107,10 +107,34 @@ def main(argv=None):
         from hulc2_tpu.agents.hulc2_agent import Hulc2Agent
         from hulc2_tpu.evaluation.tasks import TASK_NAMES
 
-        env = FakeCalvinEnv()
-        agent = Hulc2Agent(env, model, params, cfg["datamodule"])
         rng = np.random.default_rng(0)
         lang_embeddings = {t: rng.standard_normal(384).astype(np.float32) for t in TASK_NAMES}
+
+        if args.n_envs > 1:  # batched/pipelined evaluator smoke (no simulator)
+            from hulc2_tpu.envs.calvin_wrapper import EnvFarm
+            from hulc2_tpu.evaluation.batched_eval import PipelinedEvaluator
+
+            n_cohorts = max(1, min(args.cohorts, args.n_envs))
+            per = args.n_envs // n_cohorts
+            sizes = [per + (1 if c < args.n_envs % n_cohorts else 0) for c in range(n_cohorts)]
+            cohorts, shared_step = [], None
+            seed = 0
+            for size in sizes:
+                farm = EnvFarm([FakeCalvinEnv(seed=seed + i) for i in range(size)])
+                seed += size
+                agent = Hulc2Agent(farm, model, params, cfg["datamodule"],
+                                   n_envs=size, fused_step=shared_step)
+                shared_step = shared_step or agent._fused_step
+                cohorts.append((farm, agent))
+            ev = PipelinedEvaluator(cohorts, lang_embeddings, ep_len=args.ep_len, oracle=oracle)
+            results = ev.evaluate(sequences=sequences)
+            step = args.checkpoint if args.checkpoint is not None else "latest"
+            merged = harness.print_and_save({str(step): results}, log_dir, sequences=sequences)
+            logger.info("evaluation wall-clock: %.1f s", time.time() - t0)
+            return merged
+
+        env = FakeCalvinEnv()
+        agent = Hulc2Agent(env, model, params, cfg["datamodule"])
 
         def rollout_fn(env, subtask):
             agent.reset()
