@@ -158,11 +158,16 @@ class AffordancePredictor:
     and maps the pixel back to the input resolution."""
 
     def __init__(self, model: AffordanceDetector, variables, depth_norm: Optional[DepthNorm] = None,
-                 input_hw: Tuple[int, int] = (224, 224), seed: int = 0):
+                 input_hw: Tuple[int, int] = (224, 224), seed: int = 0,
+                 lang_table: Optional[Dict[str, np.ndarray]] = None):
         self.model = model
         self.variables = variables
         self.depth_norm = depth_norm or DepthNorm()
         self.input_hw = input_hw
+        # caption -> embedding lookup so callers may pass instruction strings
+        # (the reference embeds captions with the model's own lang encoder at
+        # predict time, pixel_aff_lang_detector.py:172)
+        self.lang_table = lang_table or {}
         self._key = jax.random.PRNGKey(seed)
         self._n = 0
 
@@ -173,9 +178,17 @@ class AffordancePredictor:
 
         self._predict = _predict
 
-    def predict(self, img_uint8: np.ndarray, lang_emb: np.ndarray) -> Dict:
+    def predict(self, img_uint8: np.ndarray, lang_emb) -> Dict:
         from hulc2_tpu.ops.preprocess import resize
 
+        if isinstance(lang_emb, str):
+            try:
+                lang_emb = self.lang_table[lang_emb]
+            except KeyError:
+                raise KeyError(
+                    f"no affordance language embedding for caption {lang_emb!r} — "
+                    "provide a lang_table (caption -> embedding) to AffordancePredictor"
+                ) from None
         img = jnp.asarray(img_uint8[None]).astype(jnp.float32) / 255.0
         img = resize(img, *self.input_hw)
         lang = jnp.asarray(lang_emb[None], jnp.float32)

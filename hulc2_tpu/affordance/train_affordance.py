@@ -114,7 +114,6 @@ def train(overrides=(), max_epochs: Optional[int] = None, max_steps: Optional[in
     cfg = cfg_lib.compose("train_affordance", list(overrides))
     aff_cfg = cfg["aff_detection"]
     run_dir = Path(run_dir or f"{cfg['log_dir']}/{time.strftime('%Y-%m-%d_%H-%M-%S')}")
-    save_run_config_compat(cfg, run_dir)
     img_hw = aff_cfg["dataset"]["img_resize"][aff_cfg["dataset"]["cam"]]
 
     if synthetic:
@@ -133,6 +132,12 @@ def train(overrides=(), max_epochs: Optional[int] = None, max_steps: Optional[in
             for s in ("training", "validation")
         }
         depth_norm = datasets["training"].depth_norm
+
+    # persist the depth normalization stats so evaluation can rebuild the
+    # predictor from the run dir alone (the reference embeds norm_values in
+    # the checkpoint hyperparameters, pixel_aff_lang_detector.py:17)
+    cfg["depth_norm"] = {"mean": float(depth_norm.mean), "std": float(depth_norm.std)}
+    save_run_config_compat(cfg, run_dir)
 
     model = build_detector(aff_cfg)
     tx = optim.make_optimizer(aff_cfg["optimizer"])

@@ -5,7 +5,9 @@ Host-side counterpart of the reference BaseAgent
 stages (lift z, retract y, translate xy, descend) where each stage is a PD
 position loop (kp=0.08, kd=0.05, <=200 steps, stop when converged or stalled).
 This runs against the CPU simulator between policy segments, so it stays pure
-NumPy/host code by design.
+NumPy/host code by design. The staged-PD state machine itself lives in
+``hulc2_tpu.agents.approach.ApproachController`` so the batched evaluator can
+run the same controller one lockstep round at a time.
 """
 from __future__ import annotations
 
@@ -14,16 +16,25 @@ from typing import Optional, Sequence
 
 import numpy as np
 
+from hulc2_tpu.agents.approach import (
+    ApproachController,
+    CONVERGED_DIST,
+    DEFAULT_TARGET_ORN,
+    KD,
+    KP,
+    MAX_STAGE_STEPS,
+    STALLED_DIST,
+    Z_CEILING,
+)
+
 logger = logging.getLogger(__name__)
 
-KP, KD = 0.08, 0.05
-MAX_STAGE_STEPS = 200
-CONVERGED_DIST = 0.01
-STALLED_DIST = 0.0005
-Z_CEILING = 0.7
-
-# neutral downward-pointing gripper orientation used when none is given
-DEFAULT_TARGET_ORN = np.array([3.14, 0.0, 1.5])
+__all__ = [
+    "BaseAgent",
+    "ApproachController",
+    "KP", "KD", "MAX_STAGE_STEPS", "CONVERGED_DIST", "STALLED_DIST",
+    "Z_CEILING", "DEFAULT_TARGET_ORN",
+]
 
 
 class BaseAgent:
@@ -42,43 +53,31 @@ class BaseAgent:
         return tcp_pos, tcp_orn, gripper
 
     def move_to(self, target_pos, target_orn=None, gripper_action=None):
-        """Staged approach (reference: base_agent.py:106-147)."""
-        tcp_pos, _, curr_grip = self._robot_state()
-        target_orn = np.asarray(target_orn) if target_orn is not None else self.target_orn.copy()
-        gripper_action = curr_grip if gripper_action is None else gripper_action
-        target_pos = np.asarray(target_pos, np.float64)
-
-        lift_z = min(max(tcp_pos[2] + 0.07, target_pos[2]), Z_CEILING)
-        stages = [
-            np.array([tcp_pos[0], tcp_pos[1], tcp_pos[2] + 0.03]),  # small lift
-            np.array([tcp_pos[0], tcp_pos[1] - 0.03, lift_z]),  # retract + rise
-            None,  # xy translate at height (filled below)
-            target_pos,  # descend to target
-        ]
-        transition = None
-        for i, stage in enumerate(stages):
-            if stage is None:
-                cur, _, _ = self._robot_state()
-                stage = np.array([target_pos[0], target_pos[1], cur[2]])
-            transition = self.move_to_pos(stage, target_orn, gripper_action)
-        return transition
+        """Blocking staged approach (reference: base_agent.py:106-147):
+        drive the incremental controller until it reports done."""
+        tcp_pos, tcp_orn, curr_grip = self._robot_state()
+        controller = ApproachController(
+            tcp_pos,
+            target_pos,
+            target_orn if target_orn is not None else self.target_orn.copy(),
+            curr_grip if gripper_action is None else gripper_action,
+        )
+        transition = (self.env.get_obs(), 0.0, False, self.env.get_info())
+        while True:
+            action = controller.action(tcp_pos, tcp_orn)
+            if action is None:
+                return transition
+            transition = self.env.step(action)
+            tcp_pos, tcp_orn, _ = self._robot_state()
 
     def move_to_pos(self, target_pos, target_orn, gripper_action):
         """One PD position loop (reference: base_agent.py:180-224)."""
-        curr_pos, curr_orn, _ = self._robot_state()
-        last_pos = np.asarray(target_pos, np.float64).copy()
-        derivative = np.zeros(3)
-        error = target_pos - curr_pos
+        tcp_pos, tcp_orn, _ = self._robot_state()
+        controller = ApproachController.single_stage(tcp_pos, target_pos, target_orn, gripper_action)
         transition = (self.env.get_obs(), 0.0, False, self.env.get_info())
-        for _ in range(MAX_STAGE_STEPS):
-            angle_diff = np.arctan2(np.sin(curr_orn - target_orn), np.cos(curr_orn - target_orn))
-            moving = np.linalg.norm(curr_pos - last_pos) > STALLED_DIST
-            if np.linalg.norm(error) <= CONVERGED_DIST or not (moving or (angle_diff > 0.01).any()):
-                break
-            last_pos = curr_pos
-            rel = error * KP + derivative * KD
-            derivative = error
-            transition = self.env.step([curr_pos + rel, target_orn, gripper_action])
-            curr_pos, curr_orn, _ = self._robot_state()
-            error = target_pos - curr_pos
-        return transition
+        while True:
+            action = controller.action(tcp_pos, tcp_orn)
+            if action is None:
+                return transition
+            transition = self.env.step(action)
+            tcp_pos, tcp_orn, _ = self._robot_state()

@@ -66,7 +66,15 @@ class Hulc2Agent(BaseAgent):
         self._fused_step = fused_step or make_fused_policy_step(model, self._transform)
         self._key = jax.random.PRNGKey(seed)
         self._step_idx = 0
+        self._cam = None  # lazy host-side pinhole camera for the aff path
         self.carry: PolicyCarry = model.init_carry(n_envs)
+
+    def _host_camera(self):
+        if self._cam is None:
+            from hulc2_tpu.envs.camera import PinholeCamera
+
+            self._cam = PinholeCamera(**self.env.get_camera_params())
+        return self._cam
 
     def reset_env_slot(self, i: int) -> None:
         """Reset one env's slice of the batched carry (fresh plan + hidden;
@@ -87,7 +95,7 @@ class Hulc2Agent(BaseAgent):
         if caption is not None and self.affordance is not None:
             target_pos, pred_px = self.get_aff_pred(caption)
             tcp_pos, _, _ = self._robot_state()
-            tcp_px = self.env.cameras[0].project(np.array([*tcp_pos, 1.0]))
+            tcp_px = self._host_camera().project(np.array([*tcp_pos, 1.0]))
             if np.linalg.norm(np.asarray(pred_px) - np.asarray(tcp_px)) > MOVE_THRESHOLD_PX:
                 self.move_to(target_pos + self.offset, gripper_action=1)
         self.carry = self.model.init_carry(self.n_envs)
@@ -98,11 +106,11 @@ class Hulc2Agent(BaseAgent):
         obs = self.env.get_obs()
         pred = self.affordance.predict(obs["rgb_obs"]["rgb_static"], caption)
         pixel = pred["pixel"]
+        cam = self._host_camera()
         if "depth" in pred:
-            target = self.env.cameras[0].deproject_single_depth(pixel, pred["depth"])
+            target = cam.deproject_single_depth(pixel, pred["depth"])
         else:
-            depth = obs["depth_obs"]["depth_static"]
-            target = self.env.cameras[0].deproject(pixel, depth)
+            target = cam.deproject(pixel, obs["depth_obs"]["depth_static"])
         return np.asarray(target), np.asarray(pixel)
 
     # ------------------------------------------------------------------ #

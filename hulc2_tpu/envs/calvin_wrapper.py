@@ -58,6 +58,20 @@ class CalvinEnvWrapper:
     def cameras(self):
         return self.env.cameras
 
+    def get_camera_params(self) -> Dict:
+        """Picklable static-camera description for host-side deprojection
+        (usable across ProcessEnvFarm workers, unlike the pybullet-handle-
+        holding calvin_env camera objects)."""
+        from hulc2_tpu.envs.camera import PinholeCamera
+
+        cam = self.env.cameras[0]
+        if isinstance(cam, PinholeCamera):
+            return cam.to_params()
+        return PinholeCamera.from_gl_matrices(
+            cam.width, cam.height, cam.projectionMatrix, cam.viewMatrix,
+            getattr(cam, "name", "static"),
+        ).to_params()
+
     def reset(self, robot_obs=None, scene_obs=None, state_info: Optional[Dict] = None):
         if state_info is not None:  # reset from a recorded dataset frame
             robot_obs = np.asarray(state_info["robot_obs"])

@@ -42,6 +42,25 @@ class FakeCalvinEnv:
         # schedules against a PyBullet-like ~10-20 ms step without PyBullet)
         self.step_delay_s = step_delay_s
 
+    @property
+    def cameras(self):
+        """Synthetic overhead static camera (role of calvin_env's camera
+        objects, consumed at reference lmp_agent.py:174-194): looks straight
+        down at the playtable so pixel<->world project/deproject round-trips
+        are geometrically consistent for the hierarchical agent tests."""
+        from hulc2_tpu.envs.camera import PinholeCamera
+
+        hw = self.static_hw
+        T = np.eye(4)
+        T[:3, :3] = np.diag([1.0, -1.0, -1.0])  # cam +z points world-down
+        T[:3, 3] = [0.1, -0.4, 1.6]
+        return [PinholeCamera.from_params(hw, hw, fx=hw, fy=hw, cx=hw / 2, cy=hw / 2,
+                                          T_world_cam=T, name="static")]
+
+    def get_camera_params(self) -> Dict:
+        """Picklable static-camera description (works across RemoteEnv RPC)."""
+        return self.cameras[0].to_params()
+
     # ---- calvin_env-compatible surface --------------------------------- #
     def reset(self, robot_obs=None, scene_obs=None):
         if robot_obs is not None:

@@ -130,6 +130,9 @@ class RemoteEnv:
     def get_info(self):
         return self.call("get_info")
 
+    def get_camera_params(self):
+        return self.call("get_camera_params")
+
     def close(self) -> None:
         if self._proc.poll() is None:
             try:
@@ -139,7 +142,14 @@ class RemoteEnv:
             try:
                 self._proc.wait(timeout=5)
             except subprocess.TimeoutExpired:
+                # escalate: SIGTERM, then SIGKILL for workers stuck in native
+                # sim code; always reap so the tmpdir (live socket) can go
                 self._proc.terminate()
+                try:
+                    self._proc.wait(timeout=5)
+                except subprocess.TimeoutExpired:
+                    self._proc.kill()
+                    self._proc.wait()
         self._conn.close()
 
 

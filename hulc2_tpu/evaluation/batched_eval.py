@@ -40,7 +40,8 @@ logger = logging.getLogger(__name__)
 class _EnvJob:
     """Per-env chain cursor."""
 
-    __slots__ = ("chain", "subtask_idx", "steps_left", "start_info", "done", "result", "job_idx")
+    __slots__ = ("chain", "subtask_idx", "steps_left", "start_info", "done", "result",
+                 "job_idx", "approach")
 
     def __init__(self, job_idx: int, chain: Sequence[str]):
         self.job_idx = job_idx
@@ -50,6 +51,9 @@ class _EnvJob:
         self.start_info = None
         self.done = False
         self.result = 0
+        # hierarchical mode: in-flight PD approach controller (policy actions
+        # are ignored until it reports done)
+        self.approach = None
 
 
 class _Cohort:
@@ -64,6 +68,9 @@ class _Cohort:
         self.jobs: List[Optional[_EnvJob]] = [None] * self.k
         self.goals = np.zeros((self.k, evaluator.goal_dim), evaluator.goal_dtype)
         self.pending = None  # in-flight device action array
+        # host-side PD actions for envs in the approach phase, refreshed at
+        # each dispatch; overrides the policy action in settle()
+        self._pd_actions: List[Optional[tuple]] = [None] * self.k
         # per-env latest observation, reused for the next dispatch so each
         # env renders exactly ONCE per step (env.step/reset already return
         # the frame; a second get_obs() would re-render in PyBullet)
@@ -92,12 +99,37 @@ class _Cohort:
         job.steps_left = self.ev.ep_len
         job.start_info = self.farm.envs[i].get_info()
         self.agent.reset_env_slot(i)
+        # hierarchical mode (reference: lmp_agent.py:195-235): query the
+        # affordance model and PD-approach the predicted 3D point first when
+        # the prediction is far from the TCP
+        job.approach = self.ev.make_approach(
+            self.farm.envs[i], self.obs[i], job.chain[job.subtask_idx]
+        )
 
     def dispatch(self):
-        """Submit the next policy step for this cohort (non-blocking)."""
+        """Submit the next policy step for this cohort (non-blocking).
+
+        Envs in the approach phase get their PD action computed here, from
+        the same observation the policy sees; an approach that finishes
+        resets the env's carry slice BEFORE the dispatch so the first policy
+        action comes from a fresh plan. The policy dispatch still covers all
+        K envs (static shapes — branchless batch), approaching envs simply
+        discard its action in settle()."""
         if any(o is None for o in self.obs):
             self.obs = [o if o is not None else e.get_obs()
                         for o, e in zip(self.obs, self.farm.envs)]
+        self._pd_actions = [None] * self.k
+        for i in range(self.k):
+            job = self.jobs[i]
+            if job is None or job.approach is None:
+                continue
+            robot = np.asarray(self.obs[i]["robot_obs"], np.float64)
+            a = job.approach.action(robot[:3], robot[3:6])
+            if a is None:  # approach finished: hand over to the policy
+                job.approach = None
+                self.agent.reset_env_slot(i)
+            else:
+                self._pd_actions[i] = a
         stacked = type(self.farm).stack_obs(self.obs)
         self.pending = self.agent.step_async(stacked, {"lang": self.goals})
 
@@ -108,15 +140,24 @@ class _Cohort:
         self.pending = None
         if actions.ndim == 1:
             actions = actions[None]
+        acts: List = list(actions)
+        for i, pd in enumerate(self._pd_actions):
+            if pd is not None and self.jobs[i] is not None:
+                acts[i] = pd
+                self.ev.n_approach_steps += 1
         # parallel across worker processes for ProcessEnvFarm, serial otherwise
-        obs_list, infos = self.farm.step_all(actions)
+        obs_list, infos = self.farm.step_all(acts)
         self.obs = list(obs_list)
         oracle = self.ev.oracle
         for i in range(self.k):
             job = self.jobs[i]
             if job is None or job.done:
                 continue
-            job.steps_left -= 1
+            if self._pd_actions[i] is None:
+                # approach steps run before the policy loop and do not consume
+                # the 360-step policy budget (reference: manager_aff_lmp.py:26-79
+                # runs model.reset(lang) outside the step loop)
+                job.steps_left -= 1
             subtask = job.chain[job.subtask_idx]
             hit = subtask in oracle.get_task_info_for_set(job.start_info, infos[i], [subtask])
             advance_chain = False
@@ -151,6 +192,10 @@ class PipelinedEvaluator:
         task_to_annotation: Optional[Dict[str, str]] = None,
         ep_len: int = 360,
         oracle: Optional[SceneObsTaskOracle] = None,
+        affordance=None,  # AffordancePredictor: enables the hierarchical mode
+        aff_lang_embeddings: Optional[Dict[str, np.ndarray]] = None,
+        move_threshold_px: float = 15.0,
+        approach_offset=(0.0, 0.0, 0.1),
     ):
         self.ep_len = ep_len
         self.oracle = oracle or SceneObsTaskOracle()
@@ -161,6 +206,17 @@ class PipelinedEvaluator:
         # float32 sentence embeddings, or int32 BPE token ids for policies
         # with the in-graph language tower
         self.goal_dtype = sample_goal.dtype
+        # hierarchical (HULC++) mode: affordance predict -> deproject ->
+        # staged PD approach per subtask (reference: manager_aff_lmp.py:139-155,
+        # lmp_agent.py:195-235)
+        self.affordance = affordance
+        self.aff_lang = aff_lang_embeddings or {}
+        self.move_threshold_px = float(move_threshold_px)
+        self.approach_offset = np.asarray(approach_offset, np.float64)
+        self.n_aff_predictions = 0
+        self.n_approaches = 0
+        self.n_approach_steps = 0
+        self._cam_cache: Dict[int, object] = {}
         self.cohorts = [_Cohort(farm, agent, self) for farm, agent in cohorts]
         # shared job queue state (set per evaluate() call)
         self.sequences: Sequence = []
@@ -184,6 +240,48 @@ class PipelinedEvaluator:
     def goal_for(self, subtask: str) -> np.ndarray:
         key = self.task_to_ann.get(subtask, subtask)
         return np.asarray(self.lang[key], self.goal_dtype)
+
+    # ---- hierarchical (affordance) mode -------------------------------- #
+    def _camera(self, env):
+        """Host-side pinhole camera for an env slot (cached; built from
+        picklable params so it works across ProcessEnvFarm workers)."""
+        cam = self._cam_cache.get(id(env))
+        if cam is None:
+            from hulc2_tpu.envs.camera import PinholeCamera
+
+            cam = PinholeCamera(**env.get_camera_params())
+            self._cam_cache[id(env)] = cam
+        return cam
+
+    def make_approach(self, env, obs, subtask: str):
+        """Affordance predict -> deproject -> ApproachController, or None
+        when no affordance model is set or the predicted pixel is already
+        within ``move_threshold_px`` of the TCP (reference:
+        lmp_agent.py:195-235 'move only if the target is far')."""
+        if self.affordance is None:
+            return None
+        from hulc2_tpu.agents.approach import ApproachController
+
+        key = self.task_to_ann.get(subtask, subtask)
+        pred = self.affordance.predict(obs["rgb_obs"]["rgb_static"], self.aff_lang[key])
+        self.n_aff_predictions += 1
+        cam = self._camera(env)
+        if "depth" in pred:
+            target = cam.deproject_single_depth(pred["pixel"], pred["depth"])
+        elif "depth_static" in obs.get("depth_obs", {}):
+            target = cam.deproject(pred["pixel"], obs["depth_obs"]["depth_static"])
+        else:
+            raise RuntimeError(
+                "hierarchical eval needs a depth source: the affordance model "
+                "has no depth head and the env provides no depth_static map"
+            )
+        tcp_pos = np.asarray(obs["robot_obs"][:3], np.float64)
+        tcp_px = cam.project(np.append(tcp_pos, 1.0))
+        if np.linalg.norm(np.asarray(pred["pixel"], np.float64) - tcp_px) <= self.move_threshold_px:
+            return None
+        self.n_approaches += 1
+        return ApproachController(tcp_pos, np.asarray(target) + self.approach_offset,
+                                  gripper_action=1.0)
 
     # ---- main loop ----------------------------------------------------- #
     def evaluate(self, num_sequences: int = 1000, sequences=None, progress: bool = True) -> List[int]:
@@ -232,8 +330,10 @@ class BatchedEvaluator(PipelinedEvaluator):
         task_to_annotation: Optional[Dict[str, str]] = None,
         ep_len: int = 360,
         oracle: Optional[SceneObsTaskOracle] = None,
+        **kwargs,
     ):
-        super().__init__([(farm, agent)], lang_embeddings, task_to_annotation, ep_len, oracle)
+        super().__init__([(farm, agent)], lang_embeddings, task_to_annotation, ep_len,
+                         oracle, **kwargs)
         self.farm = farm
         self.agent = agent
         self.k = len(farm)

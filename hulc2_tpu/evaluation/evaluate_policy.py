@@ -30,14 +30,21 @@ logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(mess
 logger = logging.getLogger(__name__)
 
 
-def load_lang_embeddings(dataset_path: Path, lang_folder: str):
-    """Validation-annotation sentence -> embedding lookup
-    (reference: evaluation/utils.py:88-96 LangEmbeddings)."""
-    f = Path(dataset_path) / "validation" / lang_folder / "embeddings.npy"
+def load_lang_embeddings_file(f: Path):
+    """Parse an ``embeddings.npy``-style dict file into
+    ({annotation: embedding}, {key: annotation})."""
     data = np.load(f, allow_pickle=True).item()
     return {v["ann"][0]: np.asarray(v["emb"]).squeeze() for v in data.values()}, {
         k: v["ann"][0] for k, v in data.items()
     }
+
+
+def load_lang_embeddings(dataset_path: Path, lang_folder: str):
+    """Validation-annotation sentence -> embedding lookup
+    (reference: evaluation/utils.py:88-96 LangEmbeddings)."""
+    return load_lang_embeddings_file(
+        Path(dataset_path) / "validation" / lang_folder / "embeddings.npy"
+    )
 
 
 def make_policy_rollout_fn(agent, oracle, task_to_annotation, lang_embeddings, ep_len: int):
@@ -80,9 +87,24 @@ def main(argv=None):
     p.add_argument("--process-envs", action="store_true",
                    help="give each simulator its own worker process so envs "
                         "step in parallel on host cores (needs n-envs > 1)")
+    p.add_argument("--aff-train-dir", default=None,
+                   help="affordance training run dir: enables the hierarchical "
+                        "HULC++ mode (affordance predict -> PD approach -> "
+                        "policy), the reference's --aff_train_folder "
+                        "(manager_aff_lmp.py:139-155)")
+    p.add_argument("--aff-checkpoint", type=int, default=None,
+                   help="specific affordance step (default: newest)")
+    p.add_argument("--heuristic-oracle", action="store_true",
+                   help="score with the scene-obs heuristic oracle even when "
+                        "calvin_env's native oracle is available")
+    p.add_argument("--aff-lang-embeddings", default=None,
+                   help="npy dict file {idx: {ann, emb}} with embeddings "
+                        "matching the affordance model's language encoder; "
+                        "defaults to the dataset's validation embeddings when "
+                        "the dimensions match")
     args = p.parse_args(argv)
 
-    from hulc2_tpu.envs.task_oracle import SceneObsTaskOracle
+    from hulc2_tpu.envs.task_oracle import make_oracle
     from hulc2_tpu.evaluation.loading import load_policy
 
     if args.all_checkpoints:
@@ -100,7 +122,15 @@ def main(argv=None):
     model, params, cfg = load_policy(args.train_dir, args.checkpoint)
     log_dir = Path(args.log_dir or (Path(args.train_dir) / "evaluation"))
     sequences = get_sequences(args.num_sequences)
-    oracle = SceneObsTaskOracle()
+    # native calvin_env oracle for real-simulator scoring, heuristic otherwise
+    oracle = make_oracle(real_env=not args.fake_env,
+                         force_heuristic=args.heuristic_oracle)
+
+    affordance = None
+    if args.aff_train_dir:
+        from hulc2_tpu.evaluation.loading import load_affordance
+
+        affordance = load_affordance(args.aff_train_dir, args.aff_checkpoint)
 
     if args.fake_env:
         from hulc2_tpu.envs.fake_env import FakeCalvinEnv
@@ -108,7 +138,21 @@ def main(argv=None):
         from hulc2_tpu.evaluation.tasks import TASK_NAMES
 
         rng = np.random.default_rng(0)
-        lang_embeddings = {t: rng.standard_normal(384).astype(np.float32) for t in TASK_NAMES}
+        if (cfg["model"].get("language_encoder") or {}).get("_name_") == "clip_text":
+            # in-graph tower: goals must be BPE token ids, not float vectors
+            from hulc2_tpu.utils.clip_tokenizer import tokenize
+
+            lang_embeddings = {
+                t: np.asarray(tokenize([t.replace("_", " ")])[0]) for t in TASK_NAMES
+            }
+        else:
+            lang_embeddings = {t: rng.standard_normal(384).astype(np.float32) for t in TASK_NAMES}
+        aff_lang = None
+        if affordance is not None:
+            # smoke mode: shape-correct pseudo-embeddings for the affordance tower
+            dim = affordance.model.lang_embed_dim
+            aff_lang = {t: rng.standard_normal(dim).astype(np.float32) for t in TASK_NAMES}
+            affordance.lang_table = aff_lang
 
         if args.n_envs > 1:  # batched/pipelined evaluator smoke (no simulator)
             from hulc2_tpu.envs.calvin_wrapper import EnvFarm
@@ -126,18 +170,23 @@ def main(argv=None):
                                    n_envs=size, fused_step=shared_step)
                 shared_step = shared_step or agent._fused_step
                 cohorts.append((farm, agent))
-            ev = PipelinedEvaluator(cohorts, lang_embeddings, ep_len=args.ep_len, oracle=oracle)
+            ev = PipelinedEvaluator(cohorts, lang_embeddings, ep_len=args.ep_len, oracle=oracle,
+                                    affordance=affordance, aff_lang_embeddings=aff_lang)
             results = ev.evaluate(sequences=sequences)
+            if affordance is not None:
+                logger.info("hierarchical mode: %d affordance predictions, %d approaches, "
+                            "%d approach steps", ev.n_aff_predictions, ev.n_approaches,
+                            ev.n_approach_steps)
             step = args.checkpoint if args.checkpoint is not None else "latest"
             merged = harness.print_and_save({str(step): results}, log_dir, sequences=sequences)
             logger.info("evaluation wall-clock: %.1f s", time.time() - t0)
             return merged
 
         env = FakeCalvinEnv()
-        agent = Hulc2Agent(env, model, params, cfg["datamodule"])
+        agent = Hulc2Agent(env, model, params, cfg["datamodule"], affordance=affordance)
 
         def rollout_fn(env, subtask):
-            agent.reset()
+            agent.reset(subtask if affordance is not None else None)
             goal = {"lang": lang_embeddings[subtask]}
             obs = env.get_obs()
             start = env.get_info()
@@ -156,6 +205,24 @@ def main(argv=None):
             p.error("--dataset-path is required without --fake-env")
         stats = load_statistics(Path(args.dataset_path) / "training")
         lang_embeddings, task_to_ann = load_lang_embeddings(args.dataset_path, args.lang_folder)
+        aff_task_table = None
+        if affordance is not None:
+            dim = affordance.model.lang_embed_dim
+            if args.aff_lang_embeddings:
+                ann_emb, _ = load_lang_embeddings_file(Path(args.aff_lang_embeddings))
+            else:
+                ann_emb = lang_embeddings
+            sample = np.asarray(next(iter(ann_emb.values())))
+            if sample.shape[-1] != dim:
+                p.error(
+                    f"affordance language embeddings are {sample.shape[-1]}-d but the "
+                    f"affordance model expects {dim}-d — pass --aff-lang-embeddings "
+                    "with a table produced by the affordance model's own encoder"
+                )
+            aff_task_table = {task: np.asarray(ann_emb[ann], np.float32)
+                              for task, ann in task_to_ann.items()}
+            affordance.lang_table = {ann: np.asarray(e, np.float32)
+                                     for ann, e in ann_emb.items()}
         if args.n_envs > 1:
             from hulc2_tpu.envs.calvin_wrapper import EnvFarm
             from hulc2_tpu.evaluation.batched_eval import PipelinedEvaluator
@@ -190,19 +257,24 @@ def main(argv=None):
                 ann_to_emb = {task: tokenize([ann])[0] for task, ann in task_to_ann.items()}
             else:
                 ann_to_emb = {task: lang_embeddings[ann] for task, ann in task_to_ann.items()}
-            ev = PipelinedEvaluator(cohorts, ann_to_emb, ep_len=args.ep_len, oracle=oracle)
+            ev = PipelinedEvaluator(cohorts, ann_to_emb, ep_len=args.ep_len, oracle=oracle,
+                                    affordance=affordance, aff_lang_embeddings=aff_task_table)
             try:
                 results = ev.evaluate(sequences=sequences)
             finally:
                 for farm, _ in cohorts:
                     if hasattr(farm, "close"):
                         farm.close()
+            if affordance is not None:
+                logger.info("hierarchical mode: %d affordance predictions, %d approaches, "
+                            "%d approach steps", ev.n_aff_predictions, ev.n_approaches,
+                            ev.n_approach_steps)
             step = args.checkpoint if args.checkpoint is not None else "latest"
             merged = harness.print_and_save({str(step): results}, log_dir, sequences=sequences)
             logger.info("evaluation wall-clock: %.1f s", time.time() - t0)
             return merged
         env = CalvinEnvWrapper(make_calvin_env(args.dataset_path, show_gui=False))
-        agent = Hulc2Agent(env, model, params, cfg["datamodule"], stats)
+        agent = Hulc2Agent(env, model, params, cfg["datamodule"], stats, affordance=affordance)
         rollout_fn = make_policy_rollout_fn(agent, oracle, task_to_ann, lang_embeddings, args.ep_len)
 
     results = harness.evaluate_policy(rollout_fn, env, sequences=sequences)

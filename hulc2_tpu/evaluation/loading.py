@@ -89,6 +89,45 @@ def load_policy(run_dir, step: Optional[int] = None) -> Tuple[Hulc2, dict, dict]
     return model, restored.params, cfg
 
 
+def load_affordance(run_dir, step: Optional[int] = None, lang_table=None, seed: int = 0):
+    """AffordancePredictor from an affordance training run directory — the
+    ``--aff_train_folder`` loading path of the reference PolicyManager
+    (reference: hulc2/evaluation/manager_aff_lmp.py:139-155,
+    utils/utils.py:184-231): run config is the model spec, newest (or named)
+    orbax step provides params + batch_stats, depth-norm stats come from the
+    persisted run config."""
+    from hulc2_tpu.affordance.depth_heads import DepthNorm
+    from hulc2_tpu.affordance.detector import AffordancePredictor
+    from hulc2_tpu.affordance.train_affordance import build_detector
+
+    run_dir = Path(run_dir)
+    cfg = load_run_config(run_dir)
+    aff_cfg = cfg["aff_detection"]
+    model = build_detector(aff_cfg)
+    img_hw = aff_cfg["dataset"]["img_resize"][aff_cfg["dataset"]["cam"]]
+    template = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, img_hw, img_hw, 3), jnp.float32),
+        jnp.zeros((1, aff_cfg["lang_embed_dim"]), jnp.float32),
+        False,
+    )
+    state_template = {"params": template["params"],
+                      "batch_stats": template.get("batch_stats", {})}
+    restored = CheckpointManager(run_dir).restore(state_template, step)
+    if restored is None:
+        raise FileNotFoundError(f"no checkpoints under {run_dir}/saved_models")
+    depth_norm = DepthNorm(**cfg.get("depth_norm", {}))
+    logger.info("loaded affordance model from %s", run_dir)
+    return AffordancePredictor(
+        model,
+        {"params": restored["params"], "batch_stats": restored["batch_stats"]},
+        depth_norm,
+        (img_hw, img_hw),
+        seed=seed,
+        lang_table=lang_table,
+    )
+
+
 def load_policy_from_torch_ckpt(ckpt_path, cfg: dict) -> Tuple[Hulc2, dict]:
     """(model, params) from a reference PyTorch-Lightning .ckpt
     (the fidelity path, BASELINE.md)."""

@@ -1,0 +1,190 @@
+"""Hierarchical (HULC++) mode: affordance predict -> PD approach -> policy.
+
+Covers the staged approach controller (incremental == blocking), the
+batched evaluator's per-env approach phase (VERDICT r1 item 1: approach must
+run when the predicted pixel is > 15 px from the TCP), and the end-to-end
+CLI path with a real affordance checkpoint on disk.
+"""
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+import hulc2_tpu.configs  # noqa: F401
+from hulc2_tpu.agents.approach import ApproachController
+from hulc2_tpu.agents.base_agent import BaseAgent
+from hulc2_tpu.core import config as cfg_lib
+from hulc2_tpu.envs.calvin_wrapper import EnvFarm
+from hulc2_tpu.envs.fake_env import FakeCalvinEnv
+from hulc2_tpu.evaluation.sequences import get_sequences
+
+TINY = [
+    "model.plan_proposal.hidden_size=32",
+    "model.plan_recognition.encoder_hidden_size=32",
+    "model.plan_recognition.fc_hidden_size=32",
+    "model.action_decoder.hidden_size=32",
+    "model.visual_goal.hidden_size=32",
+    "model.language_goal.hidden_size=32",
+    "model.compute_dtype=float32",
+]
+
+TARGET = np.array([0.1, -0.3, 0.5])
+
+
+class TestApproachController:
+    def test_reaches_target(self):
+        env = FakeCalvinEnv(seed=0)
+        ctrl = ApproachController(env.robot_obs[:3], TARGET, gripper_action=1.0)
+        for _ in range(2000):
+            a = ctrl.action(env.robot_obs[:3], env.robot_obs[3:6])
+            if a is None:
+                break
+            env.step(a)
+        assert ctrl.done
+        assert np.linalg.norm(env.robot_obs[:3] - TARGET) < 0.02
+        assert ctrl.n_steps > 0
+
+    def test_incremental_matches_blocking(self):
+        """The state-machine controller and BaseAgent.move_to (which drives
+        the same controller in a loop) must produce identical trajectories."""
+        env_a, env_b = FakeCalvinEnv(seed=1), FakeCalvinEnv(seed=1)
+        BaseAgent(env_a).move_to(TARGET, gripper_action=1.0)
+
+        ctrl = ApproachController(env_b.robot_obs[:3], TARGET, gripper_action=1.0)
+        while True:
+            a = ctrl.action(env_b.robot_obs[:3], env_b.robot_obs[3:6])
+            if a is None:
+                break
+            env_b.step(a)
+        np.testing.assert_allclose(env_a.robot_obs, env_b.robot_obs, atol=1e-12)
+
+    def test_single_stage(self):
+        env = FakeCalvinEnv(seed=2)
+        ctrl = ApproachController.single_stage(env.robot_obs[:3], TARGET, gripper_action=-1.0)
+        for _ in range(500):
+            a = ctrl.action(env.robot_obs[:3], env.robot_obs[3:6])
+            if a is None:
+                break
+            env.step(a)
+        assert np.linalg.norm(env.robot_obs[:3] - TARGET) < 0.02
+        # gripper command propagated
+        assert env.robot_obs[14] == -1.0
+
+
+class _StubPredictor:
+    """Deterministic affordance stand-in: fixed pixel + depth."""
+
+    def __init__(self, pixel, depth=1.1, lang_dim=16):
+        self.model = SimpleNamespace(lang_embed_dim=lang_dim)
+        self.pixel = tuple(pixel)
+        self.depth = depth
+        self.n_calls = 0
+
+    def predict(self, img, lang):
+        self.n_calls += 1
+        return {"pixel": self.pixel, "depth": self.depth}
+
+
+def _tiny_policy():
+    from hulc2_tpu.evaluation.loading import init_params
+    from hulc2_tpu.models.build import build_policy
+
+    cfg = cfg_lib.compose("cfg_low_level", TINY)
+    model = build_policy(cfg["model"])
+    params = init_params(model, cfg)
+    return cfg, model, params
+
+
+class TestHierarchicalEvaluator:
+    def _evaluator(self, predictor, k=2, n_seq=2, static_hw=200):
+        from hulc2_tpu.agents.hulc2_agent import Hulc2Agent
+        from hulc2_tpu.evaluation.batched_eval import PipelinedEvaluator
+        from hulc2_tpu.evaluation.tasks import TASK_NAMES
+        from hulc2_tpu.tools.auto_lang_annotator import hash_embed
+
+        cfg, model, params = _tiny_policy()
+        farm = EnvFarm([FakeCalvinEnv(static_hw=static_hw, gripper_hw=64, seed=i)
+                        for i in range(k)])
+        agent = Hulc2Agent(farm, model, params, cfg["datamodule"], n_envs=k)
+        lang = {t: hash_embed([t])[0] for t in TASK_NAMES}
+        aff_lang = {t: np.zeros(16, np.float32) for t in TASK_NAMES}
+        ev = PipelinedEvaluator([(farm, agent)], lang, ep_len=2,
+                                affordance=predictor, aff_lang_embeddings=aff_lang)
+        results = ev.evaluate(sequences=get_sequences(n_seq), progress=False)
+        return ev, results
+
+    def test_far_prediction_triggers_approach(self):
+        # pixel far from the TCP projection (fake cam is 200x200 overhead)
+        pred = _StubPredictor(pixel=(180, 20))
+        ev, results = self._evaluator(pred)
+        assert pred.n_calls > 0
+        assert ev.n_approaches > 0
+        assert ev.n_approach_steps > 0
+        assert len(results) == 2
+
+    def test_near_prediction_skips_approach(self):
+        # predict exactly the TCP pixel -> within the 15 px threshold
+        env = FakeCalvinEnv(static_hw=200, gripper_hw=64)
+        cam_px = env.cameras[0].project(np.append(env.robot_obs[:3], 1.0))
+        pred = _StubPredictor(pixel=tuple(cam_px))
+        ev, results = self._evaluator(pred)
+        assert pred.n_calls > 0
+        assert ev.n_approaches == 0
+        assert ev.n_approach_steps == 0
+
+    def test_approach_moves_toward_deprojected_target(self):
+        """The PD phase must actually drive the robot toward the deprojected
+        3D point (+ the 10 cm z offset)."""
+        env = FakeCalvinEnv(static_hw=200, gripper_hw=64)
+        cam = env.cameras[0]
+        world_target = np.array([0.25, -0.2, 0.46])
+        px = cam.project(np.append(world_target, 1.0))
+        depth = float(cam.T_world_cam[2, 3] - world_target[2])  # overhead cam
+        pred = _StubPredictor(pixel=tuple(px), depth=depth)
+        ev, _ = self._evaluator(pred, k=1, n_seq=1)
+        env_after = ev.cohorts[0].farm.envs[0]
+        # robot ended near the target + (0, 0, 0.1) offset at some point;
+        # final position after policy steps still close (policy is tiny/random
+        # with 2-step budget, barely moves)
+        assert np.linalg.norm(env_after.robot_obs[:2] - world_target[:2]) < 0.15
+
+
+@pytest.mark.slow
+class TestHierarchicalCLI:
+    def test_fake_env_cli_end_to_end(self, tmp_path):
+        """--fake-env --aff-train-dir --n-envs: trains a real (tiny)
+        affordance checkpoint, then runs the hierarchical batched benchmark
+        protocol end to end through the public CLI."""
+        from hulc2_tpu.affordance import train_affordance
+        from hulc2_tpu.evaluation import evaluate_policy
+        from hulc2_tpu.training import train
+
+        aff_dir = tmp_path / "aff_run"
+        train_affordance.train(
+            [
+                "aff_detection.decoder_channels=[32,16,8,8,8]",
+                "aff_detection.lang_embed_dim=16",
+                "aff_detection.dataset.img_resize.static=64",
+                "batch_size=2",
+                "num_workers=1",
+            ],
+            max_epochs=1, max_steps=1, synthetic=True, run_dir=aff_dir, n_synthetic=2,
+        )
+
+        pol_dir = tmp_path / "policy_run"
+        train("cfg_low_level", TINY + [
+            "datamodule.max_window_size=8", "datamodule.min_window_size=8",
+            # divisible by the 8-device test mesh
+            "datamodule.batch_size_vis=8", "datamodule.batch_size_lang=8",
+        ], max_epochs=1, max_steps=1, synthetic=True, run_dir=pol_dir)
+
+        merged = evaluate_policy.main([
+            "--train-dir", str(pol_dir),
+            "--fake-env",
+            "--aff-train-dir", str(aff_dir),
+            "--n-envs", "2",
+            "--num-sequences", "2",
+            "--ep-len", "2",
+            "--log-dir", str(tmp_path / "eval"),
+        ])
+        assert (tmp_path / "eval" / "results.json").exists()
