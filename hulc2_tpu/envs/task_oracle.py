@@ -121,9 +121,14 @@ class SceneObsTaskOracle:
                 not _in_slider(_block(s, c)[:3]) and _in_slider(_block(e, c)[:3]) for c in COLORS
             )
         if task == "place_in_drawer":
+            # "was held": resting on no support at start (distinguishes place
+            # from push_into_drawer, whose block starts ON the table). A plain
+            # z>TABLE threshold misses blocks lifted out of the drawer itself,
+            # whose floor sits below the table plane.
             return any(
                 not _in_drawer(_block(s, c)[:3])
-                and _block(s, c)[2] - TABLE_Z > LIFT_DZ  # was held up
+                and not _on_table(_block(s, c)[:3])
+                and not _in_slider(_block(s, c)[:3])
                 and _in_drawer(_block(e, c)[:3])
                 for c in COLORS
             )
@@ -155,16 +160,70 @@ def _wrap(a: float) -> float:
 
 
 class CalvinTaskOracle:
-    """Adapter over calvin_env's native oracle (requires the calvin_env
-    package, host-side)."""
+    """Adapter over calvin_env's native contact-aware oracle (requires the
+    calvin_env package, host-side). This is the oracle the reference scores
+    benchmark numbers with (reference: manager_aff_lmp.py:58-74), so it is
+    the default whenever a real env is used — the heuristic SceneObsTaskOracle
+    is the fallback for simulator-free runs."""
 
     def __init__(self, tasks_cfg_path=None):
         from calvin_env.envs.tasks import Tasks  # type: ignore
 
         import yaml
 
+        if tasks_cfg_path is None:
+            tasks_cfg_path = self._find_tasks_config()
         cfg = yaml.safe_load(open(tasks_cfg_path)) if tasks_cfg_path else None
-        self._oracle = Tasks(cfg["tasks"]) if cfg else Tasks()
+        tasks_dict = (cfg or {}).get("tasks", cfg)
+        self._oracle = Tasks(tasks_dict) if tasks_dict else Tasks()
+
+    @staticmethod
+    def _find_tasks_config():
+        """Locate calvin_env's packaged new_playtable task definitions (the
+        reference loads them via hydra compose of the dataset's recorded
+        config)."""
+        try:
+            import calvin_env  # type: ignore
+            from pathlib import Path
+
+            root = Path(calvin_env.__file__).resolve().parent
+            for rel in ("conf/tasks/new_playtable_tasks.yaml",
+                        "../conf/tasks/new_playtable_tasks.yaml"):
+                p = (root / rel).resolve()
+                if p.is_file():
+                    return p
+        except Exception:  # noqa: BLE001 — fall back to Tasks' own defaults
+            pass
+        return None
 
     def get_task_info_for_set(self, start_info, end_info, tasks):
         return self._oracle.get_task_info_for_set(start_info, end_info, tasks)
+
+
+def native_oracle_available() -> bool:
+    try:
+        import calvin_env.envs.tasks  # type: ignore  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def make_oracle(real_env: bool, tasks_cfg_path=None, force_heuristic: bool = False):
+    """Benchmark-scoring oracle selection (VERDICT r1 item 2): the native
+    calvin_env oracle whenever the real simulator is in play and the package
+    is importable; the scene-obs heuristic otherwise (fake env, tests,
+    simulator-free hosts)."""
+    import logging
+
+    log = logging.getLogger(__name__)
+    if real_env and not force_heuristic:
+        if native_oracle_available():
+            log.info("using calvin_env's native task oracle for scoring")
+            return CalvinTaskOracle(tasks_cfg_path)
+        log.warning(
+            "calvin_env is not importable — scoring with the heuristic "
+            "SceneObsTaskOracle; benchmark numbers may diverge from the "
+            "reference protocol's native oracle"
+        )
+    return SceneObsTaskOracle()

@@ -35,7 +35,7 @@ def main(argv=None):
     from hulc2_tpu.envs.task_oracle import SceneObsTaskOracle
     from hulc2_tpu.evaluation.loading import load_policy
     from hulc2_tpu.evaluation.tasks import TASK_NAMES
-    from hulc2_tpu.tools.auto_lang_annotator import hash_embed
+    from hulc2_tpu.tools.auto_lang_annotator import hash_embed, require_stub_embeddings_ok
 
     model, params, cfg = load_policy(args.train_dir)
     oracle = SceneObsTaskOracle()
@@ -48,6 +48,7 @@ def main(argv=None):
 
         embed = lambda s: tokenize([s])[0]
     else:
+        require_stub_embeddings_ok("interactive eval without an embeddings table")
         embed = lambda s: hash_embed([s])[0]
 
     if args.fake_env:
@@ -61,7 +62,13 @@ def main(argv=None):
         env = CalvinEnvWrapper(make_calvin_env(args.dataset_path, show_gui=False))
         if not has_tower:
             table, _ = load_lang_embeddings(args.dataset_path, args.lang_folder)
-            embed = lambda s: table.get(s, hash_embed([s])[0])
+
+            def embed(s, _table=table):
+                if s in _table:
+                    return _table[s]
+                print(f"WARNING: {s!r} is not in the embeddings table — using a "
+                      "stub hash embedding; the policy will NOT understand it")
+                return hash_embed([s])[0]
 
     agent = Hulc2Agent(env, model, params, cfg["datamodule"])
     env.reset()

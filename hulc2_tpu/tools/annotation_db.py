@@ -56,8 +56,9 @@ def export_auto_lang_ann(
     if not records:
         raise ValueError(f"no parsable annotations in {db_path}")
     if embed_fn is None:
-        from hulc2_tpu.tools.auto_lang_annotator import hash_embed
+        from hulc2_tpu.tools.auto_lang_annotator import hash_embed, require_stub_embeddings_ok
 
+        require_stub_embeddings_ok("annotation_db export")
         embed_fn = hash_embed
     anns = [r["ann"] for r in records]
     embs = np.asarray(embed_fn(anns), np.float32)[:, None, :]

@@ -72,6 +72,7 @@ def annotate_dataset(
     anns = [sample_annotation(h["task"], rng) for h in hits]
     tasks = [h["task"] for h in hits]
     if embed_fn is None:  # deterministic hash-based stub embedding (384-d)
+        require_stub_embeddings_ok("auto_lang_annotator")
         embed_fn = hash_embed
     embs = np.asarray(embed_fn(anns), np.float32)[:, None, :]  # (N, 1, E)
 
@@ -92,6 +93,24 @@ def annotate_dataset(
         }
         np.save(out / "embeddings.npy", emb_lookup)
     return lang_data
+
+
+def require_stub_embeddings_ok(context: str) -> None:
+    """Refuse silent hash-embedding fallbacks (VERDICT r1: stub embeddings
+    produce metrics that are noise that looks like signal). Call sites that
+    would *implicitly* fall back to ``hash_embed`` must pass through this
+    gate; direct, intentional ``hash_embed`` calls (tests, smoke CLIs) need
+    not."""
+    import os
+
+    if os.environ.get("HULC2_ALLOW_STUB_EMBEDDINGS", "") not in ("1", "true", "yes"):
+        raise RuntimeError(
+            f"{context}: no real language embeddings available, and stub hash "
+            "embeddings were not explicitly allowed. Success rates computed "
+            "from stub embeddings are meaningless. Provide an embeddings "
+            "table (embeddings.npy / --lang-model), or set "
+            "HULC2_ALLOW_STUB_EMBEDDINGS=1 to proceed knowingly (tests/smoke)."
+        )
 
 
 def hash_embed(sentences: List[str], dim: int = 384) -> np.ndarray:

@@ -33,16 +33,19 @@ def make_env_factory(env_spec: str, dataset_path=None) -> Callable:
     raise ValueError(env_spec)
 
 
-def make_policy_rollout_fn_factory(cfg: dict, ep_len: int, lang_embeddings=None) -> Callable:
+def make_policy_rollout_fn_factory(cfg: dict, ep_len: int, lang_embeddings=None,
+                                   env_spec: str = "calvin") -> Callable:
     """(trainer, state) -> rollout_fn(env, subtask) -> bool."""
 
     def factory(trainer, state):
         from hulc2_tpu.agents.hulc2_agent import Hulc2Agent
-        from hulc2_tpu.envs.task_oracle import SceneObsTaskOracle
+        from hulc2_tpu.envs.task_oracle import make_oracle
         from hulc2_tpu.tools.annotations import ANNOTATION_BANK
-        from hulc2_tpu.tools.auto_lang_annotator import hash_embed
+        from hulc2_tpu.tools.auto_lang_annotator import hash_embed, require_stub_embeddings_ok
 
-        oracle = SceneObsTaskOracle()
+        # native calvin_env oracle for real-simulator rollouts (VERDICT r1
+        # item 2), heuristic for the fake env
+        oracle = make_oracle(real_env=(env_spec == "calvin"))
         table = lang_embeddings or {}
 
         def rollout_fn(env, subtask: str) -> bool:
@@ -53,6 +56,9 @@ def make_policy_rollout_fn_factory(cfg: dict, ep_len: int, lang_embeddings=None)
             caption = ANNOTATION_BANK[subtask][0]
             emb = table.get(caption)
             if emb is None:
+                # rollout SR computed from stub embeddings is noise — refuse
+                # unless explicitly allowed (HULC2_ALLOW_STUB_EMBEDDINGS=1)
+                require_stub_embeddings_ok("rollout callback")
                 emb = hash_embed([caption])[0]
             agent.reset()
             start = env.get_info()
@@ -86,7 +92,8 @@ def build_callbacks(cfg: dict, run_dir, lang_embeddings=None) -> List:
             RolloutLongHorizonCallback(
                 env_factory=env_factory,
                 rollout_fn_factory=make_policy_rollout_fn_factory(
-                    cfg, lh.get("ep_len", 360), lang_embeddings
+                    cfg, lh.get("ep_len", 360), lang_embeddings,
+                    env_spec=lh.get("env", "calvin"),
                 ),
                 num_sequences=lh.get("num_sequences", 128),
                 every_n_epochs=lh.get("every_n_epochs", 1),
@@ -100,7 +107,8 @@ def build_callbacks(cfg: dict, run_dir, lang_embeddings=None) -> List:
             RolloutCallback(
                 env_factory=env_factory,
                 rollout_fn_factory=make_policy_rollout_fn_factory(
-                    cfg, ro.get("ep_len", 120), lang_embeddings
+                    cfg, ro.get("ep_len", 120), lang_embeddings,
+                    env_spec=ro.get("env", "calvin"),
                 ),
                 rollouts_per_task=ro.get("rollouts_per_task", 10),
                 every_n_epochs=ro.get("every_n_epochs", 5),

@@ -11,6 +11,9 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+# tests intentionally exercise stub (hash) language embeddings; production
+# paths refuse them unless this is set (see auto_lang_annotator.require_stub_embeddings_ok)
+os.environ.setdefault("HULC2_ALLOW_STUB_EMBEDDINGS", "1")
 
 import jax  # noqa: E402
 

@@ -91,6 +91,20 @@ class TestAnnotator:
         np.testing.assert_array_equal(a, b)
         assert not np.allclose(a[0], a[1])
 
+    def test_stub_embedding_fallback_refused_outside_tests(self, monkeypatch):
+        """Silent hash-embedding fallbacks must raise unless explicitly
+        allowed (VERDICT r1: stub SR metrics are noise that looks like
+        signal)."""
+        import pytest
+
+        from hulc2_tpu.tools.auto_lang_annotator import require_stub_embeddings_ok
+
+        monkeypatch.delenv("HULC2_ALLOW_STUB_EMBEDDINGS", raising=False)
+        with pytest.raises(RuntimeError, match="stub"):
+            require_stub_embeddings_ok("test context")
+        monkeypatch.setenv("HULC2_ALLOW_STUB_EMBEDDINGS", "1")
+        require_stub_embeddings_ok("test context")  # no raise
+
 
 class TestPreprocessRealData:
     def _raw_frame(self, rng, t):
