@@ -117,10 +117,20 @@ class LingUNet(nn.Module):
 
             _, pyramid = ClipModifiedResNet(name="encoder")(img)
             feats = [img] + pyramid
+            if self.freeze_encoder:
+                feats = [jax.lax.stop_gradient(f) for f in feats]
+        elif self.encoder_name == "r3m_rn18":
+            # R3M ResNet18 stream (reference: visual_lang_encoders/
+            # r3m_rn18.py:10-43): stem+layer1..3 are ALWAYS frozen; layer4
+            # trains when freeze_encoder=False. Weights load from an R3M
+            # checkpoint via pretrained_vision.convert_r3m_checkpoint.
+            feats = ResNet("resnet18",
+                           frozen_stages=5 if self.freeze_encoder else 4,
+                           name="encoder")(img)
         else:
             feats = ResNet(self.encoder_name, name="encoder")(img)
-        if self.freeze_encoder:
-            feats = [jax.lax.stop_gradient(f) for f in feats]
+            if self.freeze_encoder:
+                feats = [jax.lax.stop_gradient(f) for f in feats]
         dec = UnetLangFusionDecoder(
             tuple(self.decoder_channels), self.fusion_type, self.lang_embed_dim,
             dtype=self.compute_dtype, name="decoder"

@@ -68,6 +68,31 @@ register(
 )
 
 register(
+    "aff_detection",
+    "r3m_pixel",
+    {
+        # real-world configuration (reference: visual_lang_encoders/
+        # r3m_rn18.py:53 forces decoder_channels (512, 256, 128, 64, 32);
+        # layer4 trains when freeze_encoder=False, layers 1-3 stay frozen)
+        "encoder_name": "r3m_rn18",
+        "decoder_channels": [512, 256, 128, 64, 32],
+        "fusion_type": "mult",
+        "lang_embed_dim": 1024,
+        "depth_dist": "gaussian",
+        "normalize_depth": True,
+        "freeze_encoder": False,
+        "optimizer": {"kind": "adam", "lr": 1e-4},
+        "loss_weights": {"aff": 0.1, "depth": 0.9},
+        "dataset": {
+            "data_dir": "data/real_world_lang_MoCEndPt",
+            "cam": "static",
+            "data_percent": 1.0,
+            "img_resize": {"static": 224, "gripper": 96, "all": 100},
+        },
+    },
+)
+
+register(
     "root",
     "train_affordance",
     {

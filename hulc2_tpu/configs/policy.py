@@ -55,7 +55,8 @@ register(
     },
 )
 VISION_R3M = {"_name_": "vision_r3m", "visual_features": 64, "resnet_model": "resnet18", "freeze_backbone": True}
-VISION_CLIP = {"_name_": "vision_clip", "visual_features": 64, "clip_embed_dim": 1024}
+VISION_CLIP = {"_name_": "vision_clip", "visual_features": 64, "model_name": "RN50",
+               "freeze_backbone": True}
 VISION_RESNET = {"_name_": "vision_resnet", "visual_features": 64, "freeze_backbone": False}
 TACTILE = {"_name_": "tactile_encoder", "visual_features": 64, "freeze_backbone": True}
 

@@ -230,7 +230,17 @@ def build_policy(model_cfg: dict) -> Hulc2:
     from hulc2_tpu.models.aux_nets import BCZLangDecoder, MIALangDiscriminator, StateDecoder
 
     proprio_dim = (pe_cfg.get("proprio") or {}).get("n_state_obs", 8)
-    lang_dim = (lg_cfg or {}).get("in_features", 384)
+    # the bc_z aux loss compares the decoder prediction against lang_emb,
+    # which is POST-lang_net when a language_encoder is configured — derive
+    # its dimension from the encoder's output, not language_goal.in_features
+    le_cfg = model_cfg.get("language_encoder") or {}
+    le_name = le_cfg.get("_name_")
+    if le_name == "clip_text":
+        lang_dim = le_cfg.get("output_dim", 1024)
+    elif le_name == "lang_mlp":
+        lang_dim = le_cfg.get("out_features", 256)
+    else:
+        lang_dim = (lg_cfg or {}).get("in_features", 384)
     state_dec = StateDecoder(n_state_obs=proprio_dim, dtype=dtype) if model_cfg.get("use_state_recons") else None
     bcz = BCZLangDecoder(lang_dim=lang_dim, dtype=dtype) if model_cfg.get("use_bc_z_auxiliary_loss") else None
     mia = MIALangDiscriminator(dtype=dtype) if model_cfg.get("use_mia_auxiliary_loss") else None

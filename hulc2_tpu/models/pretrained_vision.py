@@ -42,19 +42,39 @@ class VisionR3M(nn.Module):
 
 
 class VisionClip(nn.Module):
-    """Frozen CLIP image tower (embeds provided by an outer host call or an
-    HF Flax vision model passed as ``clip_apply``) + FC head. For jit-purity
-    the CLIP forward runs inside this module when ``clip_module`` is bound.
+    """CLIP image tower (RN50 ModifiedResNet or ViT-B/32, in-graph) + FC
+    head (reference: vision_clip.py:10-32, which builds both towers via the
+    vendored clip.py:467 build_model). The tower is frozen by default
+    (stop_gradient, like the reference's requires_grad=False); the head
+    picks 512 hidden for the 1024-d RN50 embedding, 256 for ViT's 512-d,
+    matching the reference exactly. Weights load through
+    ``clip_resnet.convert_clip_visual`` / ``clip_vit.convert_clip_vit``.
     """
 
     visual_features: int = 64
-    clip_embed_dim: int = 1024  # RN50: 1024, ViT-B/32: 512
+    model_name: str = "RN50"  # RN50 | ViT-B/32
+    freeze_backbone: bool = True
+    tower_kwargs: Optional[dict] = None  # size overrides (tests / RN50x variants)
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, clip_image_embeds, deterministic: bool = True):
-        hidden = 512 if self.clip_embed_dim == 1024 else 256
-        h = jax.nn.relu(Dense(hidden, dtype=self.dtype, name="fc1")(clip_image_embeds))
+    def __call__(self, x, deterministic: bool = True):
+        kw = dict(self.tower_kwargs or {})
+        if "RN50" in self.model_name:
+            from hulc2_tpu.models.clip_resnet import ClipModifiedResNet
+
+            emb, _ = ClipModifiedResNet(name="clip", **kw)(x)
+        elif "ViT" in self.model_name:
+            from hulc2_tpu.models.clip_vit import ClipVisionTransformer
+
+            kw.setdefault("input_resolution", x.shape[1])
+            emb = ClipVisionTransformer(name="clip", **kw)(x)
+        else:
+            raise ValueError(f"unknown CLIP backbone {self.model_name!r}")
+        if self.freeze_backbone:
+            emb = jax.lax.stop_gradient(emb)
+        hidden = 512 if emb.shape[-1] == 1024 else 256
+        h = jax.nn.relu(Dense(hidden, dtype=self.dtype, name="fc1")(emb))
         return Dense(self.visual_features, dtype=self.dtype, name="fc2")(h)
 
 

@@ -83,9 +83,16 @@ _CONFIGS = {
 
 class ResNet(nn.Module):
     """Returns [input, stem(relu after bn1), layer1..layer4] feature maps —
-    the smp-Unet encoder contract (first entry same resolution as input)."""
+    the smp-Unet encoder contract (first entry same resolution as input).
+
+    ``frozen_stages`` freezes the first N of [stem, layer1..layer4] by
+    stop-gradient on their outputs — gradients still reach the params of any
+    later (unfrozen) stage, matching per-layer ``requires_grad=False``
+    semantics (the reference's R3M stream trains only layer4,
+    hulc2/affordance/models/visual_lang_encoders/r3m_rn18.py:38-43)."""
 
     arch: str = "resnet18"
+    frozen_stages: int = 0  # 0..5
 
     @property
     def out_channels(self) -> Tuple[int, ...]:
@@ -95,9 +102,13 @@ class ResNet(nn.Module):
     @nn.compact
     def __call__(self, x) -> List[jnp.ndarray]:
         block, layers, _ = _CONFIGS[self.arch]
+        import jax
+
         feats = [x]
         y = nn.Conv(64, (7, 7), (2, 2), padding=3, use_bias=False, name="conv1")(x)
         y = nn.relu(TorchBatchNorm(64, name="bn1")(y))
+        if self.frozen_stages >= 1:
+            y = jax.lax.stop_gradient(y)
         feats.append(y)  # stride 2
         # torch max_pool with padding=1
         y = jnp.pad(y, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf)
@@ -108,6 +119,8 @@ class ResNet(nn.Module):
                 first_in = y.shape[-1]
                 need_ds = b == 0 and (strides != 1 or first_in != width * _CONFIGS[self.arch][2])
                 y = block(width, strides, need_ds, name=f"layer{stage+1}_{b}")(y)
+            if self.frozen_stages >= stage + 2:
+                y = jax.lax.stop_gradient(y)
             feats.append(y)
         return feats
 

@@ -129,6 +129,43 @@ class TestDetector:
         assert heat.shape == (1, 64, 64)
 
 
+class TestR3MStream:
+    """R3M LingUNet stream (reference: visual_lang_encoders/r3m_rn18.py:10):
+    layers 1-3 always frozen; layer4 trains when freeze_encoder=False."""
+
+    def _grads(self, freeze_encoder):
+        model = AffordanceDetector(
+            encoder_name="r3m_rn18", decoder_channels=(512, 256, 128, 64, 32),
+            lang_embed_dim=32, depth_dist=None, freeze_encoder=freeze_encoder,
+        )
+        img = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 3), jnp.float32)
+        lang = jnp.asarray(np.random.RandomState(1).rand(1, 32), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), img, lang, False)
+        px = jnp.asarray([[10, 20]])
+
+        def loss_fn(p):
+            out = model.apply({"params": p, "batch_stats": variables["batch_stats"]},
+                              img, lang, False)
+            return model.compute_loss(out, px, None)[0]
+
+        g = jax.grad(loss_fn)(variables["params"])["aff_stream"]["encoder"]
+        layer4 = sum(float(jnp.abs(v).sum()) for k, sub in g.items() if k.startswith("layer4")
+                     for v in jax.tree_util.tree_leaves(sub))
+        earlier = sum(float(jnp.abs(v).sum()) for k, sub in g.items()
+                      if not k.startswith("layer4")
+                      for v in jax.tree_util.tree_leaves(sub))
+        return layer4, earlier
+
+    def test_partial_freeze_trains_layer4_only(self):
+        layer4, earlier = self._grads(freeze_encoder=False)
+        assert layer4 > 0.0
+        assert earlier == 0.0
+
+    def test_full_freeze(self):
+        layer4, earlier = self._grads(freeze_encoder=True)
+        assert layer4 == 0.0 and earlier == 0.0
+
+
 class TestDataset:
     @pytest.fixture(scope="class")
     def aff_dir(self, tmp_path_factory):
