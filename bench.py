@@ -7,7 +7,17 @@ augmentation) — the reference's training configuration
 prints ONE JSON line:
 
     {"metric": "train_samples_per_sec_per_chip", "value": N,
-     "unit": "samples/s", "vs_baseline": R}
+     "unit": "samples/s", "vs_baseline": R,
+     "device_only_samples_per_sec": M, "loader": "..."}
+
+The headline ``value`` is END-TO-END: a synthetic on-disk CALVIN-format
+dataset (tools/make_synthetic_dataset.py) is read through the REAL input
+pipeline — NpzFrameStore -> RamFrameStore (shm cache) -> BatchLoader window
+assembly -> host modality fusion -> DevicePrefetcher -> jitted train step —
+because the reference's actual bottleneck was the input pipeline, and a
+device-only number hides it (VERDICT r1). ``device_only_samples_per_sec``
+is the cached-batch compute ceiling for comparison. Set BENCH_DEVICE_ONLY=1
+to skip the dataset phase (e.g. on disk-constrained hosts).
 
 ``vs_baseline`` is measured throughput divided by the reference's estimated
 A100 Lightning throughput. The reference publishes no numbers
@@ -113,18 +123,77 @@ def main():
     dt = time.perf_counter() - t0
 
     samples = 2 * b * iters  # vis + lang sub-batches per step
-    sps = samples / dt
+    device_sps = samples / dt
+
+    # ---- end-to-end: real input pipeline feeding the same train step ----
+    loader_sps, loader_desc = None, "skipped"
+    if os.environ.get("BENCH_DEVICE_ONLY", "") != "1":
+        loader_sps, loader_desc = _loader_fed_throughput(
+            cfg, train_step, state, key, kl_beta, b, iters
+        )
+
+    headline = loader_sps if loader_sps is not None else device_sps
     result = {
         "metric": "train_samples_per_sec_per_chip",
-        "value": round(sps, 2),
+        "value": round(headline, 2),
         "unit": "samples/s",
-        "vs_baseline": round(sps / A100_BASELINE_SAMPLES_PER_SEC, 3),
+        "vs_baseline": round(headline / A100_BASELINE_SAMPLES_PER_SEC, 3),
+        "device_only_samples_per_sec": round(device_sps, 2),
+        "loader": loader_desc,
     }
     print(json.dumps(result))
     print(
         f"# {jax.devices()[0].device_kind} | {n_params/1e6:.1f}M params | "
-        f"step {dt/iters*1000:.1f} ms | batch {2*b}x{s} frames | loss {final_loss:.3f}",
+        f"device-only step {dt/iters*1000:.1f} ms | batch {2*b}x{s} frames | "
+        f"loss {final_loss:.3f} | loader-fed "
+        f"{'%.1f samples/s' % loader_sps if loader_sps else 'skipped'}",
         file=sys.stderr,
+    )
+
+
+def _loader_fed_throughput(cfg, train_step, state, key, kl_beta, b, iters):
+    """samples/s with the REAL pipeline: on-disk npz -> shm RAM cache ->
+    threaded window assembly -> host fuse -> double-buffered device_put ->
+    train step. The dataset is generated once and cached under
+    BENCH_DATA_DIR (default /tmp/hulc2_bench_calvin)."""
+    import time
+
+    import jax
+
+    from hulc2_tpu.data.datamodule import Hulc2DataModule
+    from hulc2_tpu.data.loader import DevicePrefetcher, fuse_modalities_host
+    from hulc2_tpu.tools.make_synthetic_dataset import make_synthetic_calvin
+
+    root = os.environ.get("BENCH_DATA_DIR", "/tmp/hulc2_bench_calvin")
+    make_synthetic_calvin(root, episodes=2, frames_per_episode=600,
+                          val_episodes=1, val_frames=120, n_lang=1200)
+    dm_cfg = dict(cfg["datamodule"])
+    dm_cfg["root_data_dir"] = root
+    dm_cfg["batch_size_vis"] = dm_cfg["batch_size_lang"] = b
+    num_threads = int(os.environ.get("BENCH_LOADER_THREADS", "8"))
+    dm_cfg["num_workers"] = num_threads
+    dm = Hulc2DataModule(dm_cfg, use_shm_cache=True)
+    dm.setup()
+
+    def epochs():
+        while True:
+            yield from fuse_modalities_host(dm.train_iter())
+
+    it = DevicePrefetcher(epochs())
+    # warmup: shapes equal the device-only phase, so the step is already
+    # compiled; 2 steps settle the prefetch pipeline
+    for _ in range(2):
+        state2, metrics = train_step(state, next(it), key, kl_beta)
+    float(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state2, metrics = train_step(state2, next(it), key, kl_beta)
+    float(metrics["loss"])  # host fetch — honest timing on the axon tunnel
+    dt = time.perf_counter() - t0
+    it.close()
+    return 2 * b * iters / dt, (
+        f"npz->shm->{num_threads}-thread window assembly->prefetch "
+        f"({dt / iters * 1000:.1f} ms/step)"
     )
 
 

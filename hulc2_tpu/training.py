@@ -78,6 +78,12 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_debug_nans", True)
+        # also insert host-side finite assertions into the TCP-frame math
+        # (reference gripper_control.py:35,62) — catches bad euler/proprio
+        # inputs at the call site even before they hit a jit boundary
+        from hulc2_tpu.ops.gripper_frame import enable_finite_checks
+
+        enable_finite_checks(True)
     train(args.config_name, args.overrides, args.max_epochs, args.max_steps, args.synthetic,
           args.run_dir, use_shm_cache=args.shm_cache)
 

@@ -31,7 +31,14 @@ try:  # \p{L}/\p{N} unicode classes need the third-party regex module
     )
 except ImportError:  # ASCII fallback (sufficient for CALVIN/TACO annotations)
     import re as _re
+    import warnings
 
+    warnings.warn(
+        "the 'regex' package is unavailable — CLIP tokenization falls back to "
+        "an ASCII-only word pattern; non-ASCII text will tokenize differently "
+        "from OpenAI CLIP (install 'regex' to match checkpoints exactly)",
+        stacklevel=2,
+    )
     _WORD_PATTERN = _re.compile(
         r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-z]+|[0-9]|[^\sa-z0-9]+""",
         _re.IGNORECASE,

@@ -78,6 +78,34 @@ class TestGripperFrame:
         tcp = gripper_frame.world_to_tcp_frame(action, robot_obs)
         np.testing.assert_allclose(np.asarray(tcp[..., -1]), np.asarray(action[..., -1]))
 
+    def test_gimbal_lock_stays_finite(self):
+        """pitch = +-pi/2 (asin boundary) must not produce NaNs — the clamped
+        asin replaces the reference's quaternion fallback
+        (gripper_control.py:51-55)."""
+        action = jnp.asarray(np.full((2, 1, 7), 0.3, np.float32))
+        robot_obs = jnp.zeros((2, 1, 15)).at[0, 0, 4].set(jnp.pi / 2).at[1, 0, 4].set(-jnp.pi / 2)
+        tcp = gripper_frame.world_to_tcp_frame(action, robot_obs)
+        back = gripper_frame.tcp_to_world_frame(tcp, robot_obs)
+        assert np.isfinite(np.asarray(tcp)).all()
+        assert np.isfinite(np.asarray(back)).all()
+
+    def test_finite_checks_raise_on_nan_inputs(self):
+        """--debug-nans mode: non-finite euler inputs fail loudly
+        (reference NaN asserts, gripper_control.py:35,62)."""
+        import jax
+
+        action = jnp.zeros((1, 1, 7))
+        bad_obs = jnp.zeros((1, 1, 15)).at[0, 0, 4].set(jnp.nan)
+        # silent by default (zero-overhead hot path)
+        out = gripper_frame.world_to_tcp_frame(action, bad_obs)
+        assert np.isnan(np.asarray(out)).any()
+        gripper_frame.enable_finite_checks(True)
+        try:
+            with pytest.raises(Exception, match="non-finite"):
+                jax.block_until_ready(gripper_frame.world_to_tcp_frame(action, bad_obs))
+        finally:
+            gripper_frame.enable_finite_checks(False)
+
 
 class TestLogisticMixture:
     def _params(self, seed=0, b=4, s=8, a=6, k=10):
