@@ -52,23 +52,81 @@ WORKER = textwrap.dedent(
 )
 
 
-@pytest.mark.slow
-def test_two_process_mesh_allgather_and_prefetch(tmp_path):
+def _spawn_workers(tmp_path, script_text, n=2, timeout=420):
     worker = tmp_path / "worker.py"
-    worker.write_text(WORKER)
+    worker.write_text(script_text)
     with socket.socket() as s:
         s.bind(("localhost", 0))
         port = s.getsockname()[1]
-    repo = str(Path(__file__).resolve().parents[1])
+    repo = Path(__file__).resolve().parents[1]
+    pypath = f"{repo}:{repo / 'tests'}"
     procs = [
         subprocess.Popen(
             [sys.executable, str(worker), str(i), str(port)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-            env={**__import__("os").environ, "PYTHONPATH": repo, "JAX_PLATFORMS": ""},
+            env={**__import__("os").environ, "PYTHONPATH": pypath, "JAX_PLATFORMS": ""},
         )
-        for i in range(2)
+        for i in range(n)
     ]
-    outs = [p.communicate(timeout=300)[0] for p in procs]
+    outs = [p.communicate(timeout=timeout)[0] for p in procs]
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out[-3000:]}"
+    return outs
+
+
+@pytest.mark.slow
+def test_two_process_mesh_allgather_and_prefetch(tmp_path):
+    outs = _spawn_workers(tmp_path, WORKER)
+    for i, out in enumerate(outs):
         assert f"MULTIHOST_OK pid={i}" in out, out[-2000:]
+
+
+TRAIN_STEP_WORKER = textwrap.dedent(
+    """
+    import os, sys
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    pid, port = int(sys.argv[1]), sys.argv[2]
+    jax.distributed.initialize(f"localhost:{port}", num_processes=2, process_id=pid)
+    from hulc2_tpu.parallel import mesh as mesh_lib
+    import _mh_trainstep as H
+
+    mesh = mesh_lib.make_mesh(dp=4, fsdp=1)  # 2 procs x 2 local devices
+    loss, gn = H.run_one_step(mesh, pid, jax.process_count())
+    print(f"TRAINSTEP_OK pid={pid} loss={loss:.8f} grad_norm={gn:.6f}")
+    """
+)
+
+
+@pytest.mark.slow
+def test_two_process_sharded_train_step_matches_single_process(tmp_path):
+    """VERDICT r1 item 7: the full jitted sharded train_step on a real
+    2-process x 2-device mesh, fed per-process batch shards through the
+    production prefetch path, must produce the same loss/grad_norm as a
+    single-process run over the identical global batch."""
+    import re
+
+    import jax
+
+    from hulc2_tpu.parallel import mesh as mesh_lib
+    import _mh_trainstep as H
+
+    # single-process reference on the virtual 8-device mesh
+    mesh = mesh_lib.make_mesh(dp=len(jax.devices()), fsdp=1)
+    ref_loss, ref_gn = H.run_one_step(mesh, 0, 1)
+
+    outs = _spawn_workers(tmp_path, TRAIN_STEP_WORKER)
+    vals = []
+    for i, out in enumerate(outs):
+        m = re.search(rf"TRAINSTEP_OK pid={i} loss=([-\d.]+) grad_norm=([-\d.]+)", out)
+        assert m, out[-2000:]
+        vals.append((float(m.group(1)), float(m.group(2))))
+    # both processes see the replicated loss: same topology -> near-bitwise
+    assert vals[0][0] == pytest.approx(vals[1][0], rel=1e-6)
+    assert vals[0][1] == pytest.approx(vals[1][1], rel=1e-6)
+    # vs the single-process topology the math is identical but f32 reduction
+    # grouping differs (4-way vs 8-way device sums) -> ~1e-3 relative
+    for loss, gn in vals:
+        assert loss == pytest.approx(ref_loss, rel=1e-3), (loss, ref_loss)
+        assert gn == pytest.approx(ref_gn, rel=1e-2), (gn, ref_gn)
