@@ -48,8 +48,10 @@ class Hulc2Agent(BaseAgent):
         seed: int = 0,
         n_envs: int = 1,
         fused_step=None,
+        target_orn=None,
+        offset=(0.0, 0.0, 0.1),
     ):
-        super().__init__(env)
+        super().__init__(env, target_orn=target_orn, offset=offset)
         self.model = model
         self.params = params
         self.affordance = affordance

@@ -27,7 +27,7 @@ class RealWorldAgent(Hulc2Agent):
         """Deproject with the calibrated camera instead of the sim camera."""
         obs = self.env.get_obs()
         pred = self.affordance.predict(obs["rgb_obs"]["rgb_static"], caption)
-        cam = self.static_camera or self.env.cameras[0]
+        cam = self.static_camera or self._host_camera()
         if "depth" in pred:
             target = cam.deproject_single_depth(pred["pixel"], pred["depth"])
         else:

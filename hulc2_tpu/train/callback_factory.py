@@ -14,6 +14,7 @@ The reference instantiates its callback zoo from Hydra groups
 from __future__ import annotations
 
 import logging
+from pathlib import Path
 from typing import Callable, List, Optional
 
 import numpy as np
@@ -88,6 +89,9 @@ def build_callbacks(cfg: dict, run_dir, lang_embeddings=None) -> List:
     lh = cb_cfg.get("rollout_lh")
     if lh:
         env_factory = make_env_factory(lh.get("env", "calvin"), lh.get("dataset_path"))
+        video_dir = lh.get("video_dir")
+        if video_dir == "auto":  # reference logs 16 videos per eval epoch
+            video_dir = str(Path(run_dir) / "videos")
         cbs.append(
             RolloutLongHorizonCallback(
                 env_factory=env_factory,
@@ -98,6 +102,8 @@ def build_callbacks(cfg: dict, run_dir, lang_embeddings=None) -> List:
                 num_sequences=lh.get("num_sequences", 128),
                 every_n_epochs=lh.get("every_n_epochs", 1),
                 start_epoch=lh.get("start_epoch", 1),
+                video_dir=video_dir,
+                num_videos=lh.get("num_videos", 1),
             )
         )
     ro = cb_cfg.get("rollout")

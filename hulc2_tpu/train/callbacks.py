@@ -48,6 +48,33 @@ def allgather_counts(local: np.ndarray) -> np.ndarray:
     return np.sum(multihost_utils.process_allgather(local), axis=0)
 
 
+class _RecordingEnv:
+    """Env proxy streaming each observation's rgb_static into a RolloutVideo
+    (role of the reference's frame accumulation inside the rollout loop,
+    rollout/rollout_long_horizon.py + rollout_video.py:38)."""
+
+    def __init__(self, env, video):
+        self._env = env
+        self._video = video
+
+    def __getattr__(self, name):
+        return getattr(self._env, name)
+
+    def _grab(self, obs):
+        try:
+            self._video.update(obs["rgb_obs"]["rgb_static"])
+        except (KeyError, TypeError):
+            pass
+        return obs
+
+    def reset(self, *a, **kw):
+        return self._grab(self._env.reset(*a, **kw))
+
+    def step(self, action):
+        obs, r, d, info = self._env.step(action)
+        return self._grab(obs), r, d, info
+
+
 class RolloutLongHorizonCallback:
     """128-chain long-horizon eval each validation epoch."""
 
@@ -59,6 +86,7 @@ class RolloutLongHorizonCallback:
         every_n_epochs: int = 1,
         start_epoch: int = 1,
         video_dir=None,
+        num_videos: int = 1,  # record the first N chains as annotated videos
     ):
         self.env_factory = env_factory
         self.rollout_fn_factory = rollout_fn_factory
@@ -66,7 +94,29 @@ class RolloutLongHorizonCallback:
         self.every_n_epochs = every_n_epochs
         self.start_epoch = start_epoch
         self.video_dir = video_dir
+        self.num_videos = num_videos
         self._sequences = None
+
+    def _record_videos(self, rollout_fn, epoch: int):
+        """Annotated per-subtask videos for the first chains (success/fail
+        border + instruction caption), written under video_dir."""
+        from hulc2_tpu.evaluation.initial_states import get_env_state_for_initial_condition
+        from hulc2_tpu.train.rollout_video import RolloutVideo
+
+        video = RolloutVideo(self.video_dir, tag_prefix="rollout_lh")
+        env = _RecordingEnv(self.env_factory(), video)
+        for c, (initial_state, chain) in enumerate(self._sequences[: self.num_videos]):
+            robot_obs, scene_obs = get_env_state_for_initial_condition(dict(initial_state))
+            env.reset(robot_obs=robot_obs, scene_obs=scene_obs)
+            for subtask in chain:
+                video.new_video()
+                ok = rollout_fn(env, subtask)
+                video.draw_outcome(ok)
+                video.add_language_instruction(subtask)
+                video.finish_video(f"chain{c}_{subtask}")
+                if not ok:
+                    break
+        video.write(step=epoch)
 
     def __call__(self, trainer, epoch: int, state, val_metrics: Dict, **kw):
         if epoch < self.start_epoch or (epoch - self.start_epoch) % self.every_n_epochs:
@@ -78,6 +128,11 @@ class RolloutLongHorizonCallback:
         local = shard_for_process(self._sequences, jax.process_index(), jax.process_count())
         env = self.env_factory()
         rollout_fn = self.rollout_fn_factory(trainer, state)
+        if self.video_dir is not None and jax.process_index() == 0:
+            try:
+                self._record_videos(rollout_fn, epoch)
+            except Exception:  # noqa: BLE001 — diagnostics must not kill training
+                logger.exception("rollout video recording failed")
         results = harness.evaluate_policy(rollout_fn, env, sequences=local, progress=False)
 
         # merge: histogram of completed-counts across processes

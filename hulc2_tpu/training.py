@@ -54,7 +54,21 @@ def train(config_name: str = "cfg_low_level", overrides=(), max_epochs=None, max
     dm.setup()
     from hulc2_tpu.train.callback_factory import build_callbacks
 
-    callbacks = build_callbacks(cfg, run_dir)
+    # real annotation embeddings for rollout-callback goals when the dataset
+    # ships an embeddings.npy (reference: LangEmbeddings, evaluation/utils.py:88);
+    # without it the callbacks refuse stub embeddings unless explicitly allowed
+    lang_embeddings = None
+    if not synthetic:
+        emb_file = (Path(cfg["datamodule"]["root_data_dir"]) / "validation"
+                    / cfg["datamodule"].get("lang_folder", "lang_annotations")
+                    / "embeddings.npy")
+        if emb_file.exists():
+            import numpy as np
+
+            data = np.load(emb_file, allow_pickle=True).item()
+            lang_embeddings = {v["ann"][0]: np.asarray(v["emb"]).squeeze()
+                               for v in data.values()}
+    callbacks = build_callbacks(cfg, run_dir, lang_embeddings)
     trainer = Trainer(cfg, dm, run_dir, callbacks=callbacks)
     return trainer.fit(max_epochs=max_epochs, max_steps=max_steps)
 

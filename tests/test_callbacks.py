@@ -52,6 +52,36 @@ class TestLongHorizonCallback:
         assert metrics["eval_lh/sr_chain_5"] <= metrics["eval_lh/sr_chain_1"]
         assert 0 <= metrics["eval_lh/avg_seq_len"] <= 5
 
+    def test_video_artifact_written(self, tmp_path):
+        """video_dir set -> annotated per-subtask chain videos land on disk
+        (reference rollout_video role)."""
+
+        def stepping_rollout_factory(trainer, state):
+            oracle = SceneObsTaskOracle()
+
+            def rollout_fn(env, subtask):
+                start = env.get_info()
+                for _ in range(3):  # generate frames through env.step
+                    env.step(np.zeros(7))
+                env.perform(subtask)
+                return subtask in oracle.get_task_info_for_set(start, env.get_info(), [subtask])
+
+            return rollout_fn
+
+        cb = RolloutLongHorizonCallback(
+            env_factory=lambda: FakeCalvinEnv(static_hw=32, gripper_hw=16),
+            rollout_fn_factory=stepping_rollout_factory,
+            num_sequences=4,
+            start_epoch=0,
+            video_dir=tmp_path / "videos",
+            num_videos=1,
+        )
+        metrics = {}
+        cb(None, epoch=0, state=None, val_metrics=metrics)
+        files = list((tmp_path / "videos").glob("rollout_lh_*"))
+        assert files, "no video artifact written"
+        assert "eval_lh/avg_seq_len" in metrics
+
     def test_respects_schedule(self):
         cb = RolloutLongHorizonCallback(
             env_factory=lambda: FakeCalvinEnv(),

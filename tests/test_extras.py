@@ -85,6 +85,36 @@ class TestRealWorldPath:
         model = build_policy(cfg["model"])
         assert type(model.perceptual_encoder.rgb_static).__name__ == "VisionR3M"
 
+    def test_all_transform_presets_run(self):
+        """Every registered transform preset (incl. the clip / no-rand-shift /
+        square variants of conf/datamodule/transforms/*) produces finite
+        outputs for both train and val pipelines."""
+        import jax
+        import jax.numpy as jnp
+
+        from hulc2_tpu.data.device_transforms import TRANSFORM_PRESETS, make_batch_transform
+        from hulc2_tpu.data.statistics import DatasetStatistics
+
+        obs = {"rgb_obs": ["rgb_static", "rgb_gripper"], "depth_obs": [],
+               "state_obs": ["robot_obs"], "actions": ["rel_actions"],
+               "language": ["language"]}
+        proprio = {"n_state_obs": 8, "keep_indices": [[0, 7], [14, 15]],
+                   "robot_orientation_idx": [3, 6], "normalize": True,
+                   "normalize_robot_orientation": True}
+        rng = np.random.default_rng(0)
+        raw = {
+            "rgb_static": jnp.asarray(rng.integers(0, 256, (1, 2, 64, 64, 3)), jnp.uint8),
+            "rgb_gripper": jnp.asarray(rng.integers(0, 256, (1, 2, 48, 48, 3)), jnp.uint8),
+            "robot_obs_raw": jnp.asarray(rng.standard_normal((1, 2, 15)), jnp.float32),
+            "actions": jnp.zeros((1, 2, 7), jnp.float32),
+        }
+        for name in TRANSFORM_PRESETS:
+            for train in (True, False):
+                tf = make_batch_transform(obs, proprio, DatasetStatistics(), name, train)
+                out = tf(jax.random.PRNGKey(0), raw)
+                for cam in ("rgb_static", "rgb_gripper"):
+                    assert np.isfinite(np.asarray(out["rgb_obs"][cam])).all(), (name, train)
+
     def test_real_world_transform_preset(self):
         import jax
         import jax.numpy as jnp
@@ -126,6 +156,46 @@ class TestRealWorldPath:
         s.workspace = {"low": np.zeros(3), "high": np.ones(3)}
         clipped = np.clip(np.asarray([2.0, -1.0, 0.5]), s.workspace["low"], s.workspace["high"])
         np.testing.assert_array_equal(clipped, [1.0, 0.0, 0.5])
+
+    def test_real_world_eval_rollout_smoke(self):
+        """The combined real-world eval loop (affordance approach + policy
+        rollout, reference real_world_eval_combined.py:76-83) end to end on
+        the fake env with a stub affordance predictor."""
+        from types import SimpleNamespace
+
+        import hulc2_tpu.configs  # noqa: F401
+        from hulc2_tpu.agents.real_world_agent import RealWorldAgent
+        from hulc2_tpu.core import config as cfg_lib
+        from hulc2_tpu.envs.fake_env import FakeCalvinEnv
+        from hulc2_tpu.evaluation.loading import init_params
+        from hulc2_tpu.evaluation.real_world_eval import rollout
+        from hulc2_tpu.models.build import build_policy
+
+        tiny = ["model.plan_proposal.hidden_size=32",
+                "model.plan_recognition.encoder_hidden_size=32",
+                "model.plan_recognition.fc_hidden_size=32",
+                "model.action_decoder.hidden_size=32",
+                "model.visual_goal.hidden_size=32",
+                "model.language_goal.hidden_size=32",
+                "model.compute_dtype=float32"]
+        cfg = cfg_lib.compose("cfg_low_level", tiny)
+        model = build_policy(cfg["model"])
+        params = init_params(model, cfg)
+
+        class StubAff:
+            model = SimpleNamespace(lang_embed_dim=16)
+
+            def predict(self, img, lang):
+                return {"pixel": (180, 30), "depth": 1.1}
+
+        env = FakeCalvinEnv(static_hw=200, gripper_hw=64)
+        start_pos = env.robot_obs[:3].copy()
+        agent = RealWorldAgent(env, model, params, cfg["datamodule"],
+                               affordance=StubAff())
+        rollout(agent, "open_drawer", np.zeros(384, np.float32),
+                ep_len=2, move_robot=True, show=False)
+        # the approach phase moved the arm before the policy steps
+        assert np.linalg.norm(env.robot_obs[:3] - start_pos) > 0.05
 
 
 class TestFlowlib:
