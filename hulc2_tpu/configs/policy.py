@@ -508,3 +508,98 @@ register(
         "logger": "jsonl",
     },
 )
+
+
+# --------------------------------------------------------------------------- #
+# datamodule/observation_space — the reference's 16 modality/action presets
+# (reference: conf/datamodule/observation_space/*.yaml), generated rather than
+# spelled out: the name encodes language-conditioning, cameras, depth and the
+# action representation.
+# --------------------------------------------------------------------------- #
+def _obs_space(rgb, depth=(), state=("robot_obs",), actions="actions", language=True):
+    d = {
+        "rgb_obs": list(rgb),
+        "depth_obs": list(depth),
+        "state_obs": list(state),
+        "actions": [actions],
+    }
+    if language:
+        d["language"] = ["language"]
+    return d
+
+
+_SG = ("rgb_static", "rgb_gripper")
+_OBS_SPACES = {
+    "lang_rgb_static_abs_act": _obs_space(("rgb_static",)),
+    "lang_rgb_static_rel_act": _obs_space(("rgb_static",), actions="rel_actions"),
+    "lang_rgb_static_gripper_abs_act": _obs_space(_SG),
+    "lang_rgb_static_gripper_rel_act": _obs_space(_SG, actions="rel_actions"),
+    "lang_rgb_static_gripper_rel_gripper_act": _obs_space(_SG, actions="rel_actions_gripper"),
+    "lang_rgb_static_robot_scene_abs_act": _obs_space(("rgb_static",), state=("robot_obs", "scene_obs")),
+    "lang_rgb_static_tactile_abs_act": _obs_space(("rgb_static", "rgb_tactile")),
+    "lang_rgbd_both_abs_act": _obs_space(_SG, ("depth_static", "depth_gripper")),
+    "lang_rgbd_both_rel_act": _obs_space(_SG, ("depth_static", "depth_gripper"), actions="rel_actions"),
+    "lang_rgbd_static_gripper_rel_act": _obs_space(_SG, ("depth_gripper",), actions="rel_actions"),
+    "lang_rgbd_static_robot_abs_act": _obs_space(("rgb_static",), ("depth_static",)),
+    "all_mods_abs_act": _obs_space(
+        ("rgb_static", "rgb_gripper", "rgb_tactile"),
+        ("depth_static", "depth_gripper", "depth_tactile"),
+        ("robot_obs", "scene_obs"),
+    ),
+    "rgb_static_abs_act": _obs_space(("rgb_static",), language=False),
+    "rgb_static_gripper_rel_gripper_act": _obs_space(_SG, actions="rel_actions_gripper", language=False),
+    "rgb_static_robot_scene_abs_act": _obs_space(
+        ("rgb_static",), state=("robot_obs", "scene_obs"), language=False
+    ),
+    "state_only": _obs_space((), ()),
+}
+for _name, _val in _OBS_SPACES.items():
+    register("datamodule/observation_space", _name, _val)
+
+
+# --------------------------------------------------------------------------- #
+# datamodule/proprioception_dims — the reference's 5 proprio slicing presets
+# (reference: conf/datamodule/proprioception_dims/*.yaml)
+# --------------------------------------------------------------------------- #
+def _proprio(n, keep, normalize=True):
+    return {
+        "n_state_obs": n,
+        "keep_indices": keep,
+        "robot_orientation_idx": [3, 6],
+        "normalize": normalize,
+        "normalize_robot_orientation": normalize,
+    }
+
+
+for _name, _val in {
+    "none": _proprio(0, [[0, 0]], normalize=False),
+    "robot_full": _proprio(15, [[0, 15]]),
+    "robot_no_joints": _proprio(8, [[0, 7], [14, 15]]),
+    "robot_no_joints_no_gripper_width": _proprio(7, [[0, 6], [14, 15]]),
+    "robot_scene": _proprio(54, [[0, 54]]),
+}.items():
+    register("datamodule/proprioception_dims", _name, _val)
+
+
+# --------------------------------------------------------------------------- #
+# callbacks/checkpoint — retention/monitor presets
+# (reference: conf/callbacks/checkpoint/*.yaml); callbacks/kl_schedule —
+# KL-beta annealing presets (reference: conf/callbacks/kl_schedule/*.yaml)
+# --------------------------------------------------------------------------- #
+register("callbacks/checkpoint", "all", {"save_top_k": -1, "monitor": None, "every_n_epochs": 1})
+for _name, (_monitor, _mode) in {
+    "val_action": ("val/action_loss_pp", "min"),
+    "kl": ("val/kl_loss", "min"),
+    "clip_loss": ("val/val_pred_clip_loss", "min"),
+    "state_recon": ("val/proprio_loss", "min"),
+    "task_sr": ("tasks/average_sr", "max"),
+    "lh_sr": ("eval_lh/avg_seq_len", "max"),
+}.items():
+    register("callbacks/checkpoint", _name,
+             {"save_top_k": 3, "monitor": _monitor, "mode": _mode, "every_n_epochs": 1})
+
+register("callbacks/kl_schedule", "constant", {"kind": "constant", "kl_beta": "${loss.kl_beta}"})
+register("callbacks/kl_schedule", "linear",
+         {"kind": "linear", "kl_beta": "${loss.kl_beta}", "start_epoch": 10, "end_epoch": 50})
+register("callbacks/kl_schedule", "sigmoid",
+         {"kind": "sigmoid", "kl_beta": "${loss.kl_beta}", "start_epoch": 10, "end_epoch": 50})

@@ -137,6 +137,115 @@ TRANSFORM_PRESETS = {
             ],
         },
     },
+    # CLIP-backbone preset (reference: conf/datamodule/transforms/clip.yaml):
+    # static cam at 224 with OpenAI CLIP channel statistics
+    "clip": {
+        "train": {
+            "rgb_static": [
+                {"op": "resize", "size": 224},
+                {"op": "random_shift", "pad": 10},
+                {"op": "scale_normalize",
+                 "mean": [0.48145466, 0.4578275, 0.40821073],
+                 "std": [0.26862954, 0.26130258, 0.27577711]},
+            ],
+            "rgb_gripper": [
+                {"op": "resize", "size": 84},
+                {"op": "random_shift", "pad": 4},
+                {"op": "scale_normalize",
+                 "mean": [0.48145466, 0.4578275, 0.40821073],
+                 "std": [0.26862954, 0.26130258, 0.27577711]},
+            ],
+            "depth_static": [{"op": "resize", "size": 200}, {"op": "depth_noise"}],
+            "depth_gripper": [{"op": "resize", "size": 84}, {"op": "gaussian_noise", "std": 0.01}],
+            "rgb_tactile": [
+                {"op": "resize", "size": 70},
+                {"op": "random_crop", "size": 64},
+                {"op": "scale_normalize", "mean": [0.5], "std": [0.5]},
+            ],
+        },
+        "val": {
+            "rgb_static": [
+                {"op": "resize", "size": 224},
+                {"op": "scale_normalize",
+                 "mean": [0.48145466, 0.4578275, 0.40821073],
+                 "std": [0.26862954, 0.26130258, 0.27577711]},
+            ],
+            "rgb_gripper": [
+                {"op": "resize", "size": 84},
+                {"op": "scale_normalize",
+                 "mean": [0.48145466, 0.4578275, 0.40821073],
+                 "std": [0.26862954, 0.26130258, 0.27577711]},
+            ],
+            "depth_static": [{"op": "resize", "size": 200}],
+            "depth_gripper": [{"op": "resize", "size": 84}],
+            "rgb_tactile": [
+                {"op": "resize", "size": 70},
+                {"op": "random_crop", "size": 64},
+                {"op": "scale_normalize", "mean": [0.5], "std": [0.5]},
+            ],
+        },
+    },
+    # real_world variant without the gripper-cam random shift
+    # (reference: conf/datamodule/transforms/real_world_no_rand_shift.yaml)
+    "real_world_no_rand_shift": {
+        "train": {
+            "rgb_static": [
+                {"op": "scale_normalize", "mean": [0.0], "std": [1.0]},
+                {"op": "color_jitter", "contrast": 0.05, "brightness": 0.05, "hue": 0.02, "prob": 1.0},
+                {"op": "normalize", "mean": [0.5], "std": [0.5]},
+            ],
+            "rgb_gripper": [
+                {"op": "resize", "size": 84},
+                {"op": "scale_normalize", "mean": [0.0], "std": [1.0]},
+                {"op": "color_jitter", "contrast": 0.05, "brightness": 0.05, "hue": 0.02, "prob": 1.0},
+                {"op": "normalize", "mean": [0.5], "std": [0.5]},
+            ],
+            "depth_static": [{"op": "depth_noise"}],
+            "depth_gripper": [{"op": "resize", "size": 84}, {"op": "gaussian_noise", "std": 0.01}],
+        },
+        "val": {
+            "rgb_static": [{"op": "scale_normalize", "mean": [0.5], "std": [0.5]}],
+            "rgb_gripper": [
+                {"op": "resize", "size": 84},
+                {"op": "scale_normalize", "mean": [0.5], "std": [0.5]},
+            ],
+            "depth_gripper": [{"op": "resize", "size": 84}],
+        },
+    },
+    # 150x150 square static crop variant
+    # (reference: conf/datamodule/transforms/real_world_square.yaml)
+    "real_world_square": {
+        "train": {
+            "rgb_static": [
+                {"op": "resize", "size": 150},
+                {"op": "random_shift", "pad": 6},
+                {"op": "scale_normalize", "mean": [0.0], "std": [1.0]},
+                {"op": "color_jitter", "contrast": 0.05, "brightness": 0.05, "hue": 0.02, "prob": 1.0},
+                {"op": "normalize", "mean": [0.5], "std": [0.5]},
+            ],
+            "rgb_gripper": [
+                {"op": "resize", "size": 84},
+                {"op": "scale_normalize", "mean": [0.0], "std": [1.0]},
+                {"op": "color_jitter", "contrast": 0.05, "brightness": 0.05, "hue": 0.02, "prob": 1.0},
+                {"op": "random_shift_float", "pad": 4},
+                {"op": "normalize", "mean": [0.5], "std": [0.5]},
+            ],
+            "depth_static": [{"op": "depth_noise"}],
+            "depth_gripper": [{"op": "resize", "size": 84}, {"op": "gaussian_noise", "std": 0.01}],
+        },
+        "val": {
+            "rgb_static": [
+                {"op": "resize", "size": 150},
+                {"op": "scale_normalize", "mean": [0.5], "std": [0.5]},
+            ],
+            "rgb_gripper": [
+                {"op": "resize", "size": 84},
+                {"op": "scale_normalize", "mean": [0.5], "std": [0.5]},
+            ],
+            "depth_static": [{"op": "resize", "size": 200}],
+            "depth_gripper": [{"op": "resize", "size": 84}],
+        },
+    },
 }
 
 
