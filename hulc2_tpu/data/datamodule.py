@@ -104,6 +104,26 @@ class Hulc2DataModule:
         vis, lang = self.train_loaders()
         return zip_modalities(vis, lang)
 
+    def fused_train_iter(self):
+        """Pre-fused [vis; lang] batches assembled in ONE host pass
+        (loader.FusedBatchLoader) — the production hot path; ~3x less
+        host memory traffic than train_iter + fuse_modalities_host."""
+        from hulc2_tpu.data.loader import FusedBatchLoader
+
+        if not hasattr(self, "_fused_loader"):
+            self._fused_loader = FusedBatchLoader(
+                self.datasets["vis_training"],
+                self.datasets["lang_training"],
+                self.cfg.get("batch_size_vis", self.cfg.get("batch_size", 32)),
+                self.cfg.get("batch_size_lang", self.cfg.get("batch_size", 32)),
+                shuffle=True,
+                seed=self.seed,
+                num_threads=self.cfg.get("num_workers", 4),
+                process_index=self.process_index,
+                process_count=self.process_count,
+            )
+        return self._fused_loader
+
     def val_iter(self) -> Iterator[Dict]:
         vis, lang = self.val_loaders()
         return zip_modalities(vis, lang)

@@ -54,6 +54,7 @@ class WindowDataset:
         self.pad = pad
         self.relative_actions = "rel_actions" in observation_space["actions"]
         self.action_key = observation_space["actions"][0]
+        self.seed = seed
         self.rng = np.random.default_rng(seed)
 
     def __len__(self) -> int:
@@ -90,6 +91,66 @@ class WindowDataset:
             out["lang"] = self._lang_value(ann_row)
             out["use_for_aux_lang_loss"] = np.bool_(self.index.use_for_aux_lang_loss(idx))
         return out
+
+    # ------------------------------------------------------------------ #
+    # single-pass batch assembly (the fused-batch fast path)              #
+    # ------------------------------------------------------------------ #
+    def out_specs(self, batch: int) -> Dict[str, tuple]:
+        """(shape, dtype) of preallocated fused-batch buffers for this
+        dataset's keys (images uint8 — conversion to float happens on
+        device)."""
+        s = self.index.max_window_size
+        probe = self.store.load_window(int(self.index.episode_lookup[0]), 1)
+        specs: Dict[str, tuple] = {}
+        for cam in self.obs_space["rgb_obs"]:
+            specs[cam] = ((batch, s, *probe[cam].shape[1:]), np.uint8)
+        for cam in self.obs_space["depth_obs"]:
+            specs[cam] = ((batch, s, *probe[cam].shape[1:]), np.float32)
+        specs["robot_obs_raw"] = ((batch, s, probe["robot_obs"].shape[-1]), np.float32)
+        specs["actions"] = ((batch, s, probe[self.action_key].shape[-1]), np.float32)
+        if self.index.with_lang:
+            lang0 = self._lang_value(0)
+            specs["lang"] = ((batch, lang0.shape[-1]), lang0.dtype)
+            specs["use_for_aux_lang_loss"] = ((batch,), np.bool_)
+        return specs
+
+    def write_into(self, idx: int, out: Dict[str, np.ndarray], row: int,
+                   epoch: int = 0) -> None:
+        """Write sample ``idx``'s padded window DIRECTLY into row ``row`` of
+        preallocated batch buffers — one copy from the frame store to the
+        final fused batch (no per-sample pad arrays, no collate stack, no
+        modality concat). Thread-safe: the train window size draws from a
+        stateless per-(seed, epoch, idx) Generator instead of the shared
+        ``self.rng``."""
+        rng = np.random.default_rng((self.seed, epoch, idx))
+        ws = self.index.window_size(idx, rng)
+        start = int(self.index.episode_lookup[idx])
+        ep = self.store.load_window(start, ws)
+
+        for cam in self.obs_space["rgb_obs"]:
+            dst = out[cam][row]
+            dst[:ws] = ep[cam]
+            dst[ws:] = ep[cam][-1]
+        for cam in self.obs_space["depth_obs"]:
+            dst = out[cam][row]
+            dst[:ws] = ep[cam]
+            dst[ws:] = ep[cam][-1]
+        dst = out["robot_obs_raw"][row]
+        dst[:ws] = ep["robot_obs"]
+        dst[ws:] = ep["robot_obs"][-1]
+
+        acts = ep[self.action_key]
+        dst = out["actions"][row]
+        dst[:ws] = acts
+        if self.relative_actions:  # zero-pad rel dims, repeat the gripper
+            dst[ws:] = 0.0
+            dst[ws:, -1] = acts[-1, -1]
+        else:
+            dst[ws:] = acts[-1]
+
+        if self.index.with_lang:
+            out["lang"][row] = self._lang_value(int(self.index.lang_lookup[idx]))
+            out["use_for_aux_lang_loss"][row] = bool(self.index.use_for_aux_lang_loss(idx))
 
     def _lang_value(self, ann_row: int) -> np.ndarray:
         """Precomputed embedding (E,) f32 — or, when the index loaded raw

@@ -143,8 +143,14 @@ class Trainer:
             from hulc2_tpu.data.loader import DevicePrefetcher, fuse_modalities_host
 
             # fuse [vis; lang] on the host inside the prefetch thread — the
-            # device-side uint8 concat (~2 ms/step) disappears from the jit
-            it = DevicePrefetcher(fuse_modalities_host(self.dm.train_iter()), batch_sharding)
+            # device-side uint8 concat (~2 ms/step) disappears from the jit.
+            # Datamodules with the single-pass fused assembler (one host copy
+            # per byte instead of three) use it directly.
+            if hasattr(self.dm, "fused_train_iter"):
+                stream = self.dm.fused_train_iter()
+            else:
+                stream = fuse_modalities_host(self.dm.train_iter())
+            it = DevicePrefetcher(stream, batch_sharding)
             last_metrics = {}
             for raw_batch in it:
                 state, metrics = train_step(state, raw_batch, root_key, kl_beta)

@@ -18,3 +18,8 @@ os.environ.setdefault("HULC2_ALLOW_STUB_EMBEDDINGS", "1")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compilation cache: repeated suite runs skip recompiles of the
+# heavy jitted programs (train steps, fused policy steps)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.7)

@@ -210,6 +210,69 @@ class TestLoaderAndTransforms:
         # zero-std dim (index 14) must not produce inf/nan
         assert np.all(np.isfinite(np.asarray(out["robot_obs"])))
 
+    def _dm(self, calvin_dir, **over):
+        cfg = {
+            "root_data_dir": str(calvin_dir),
+            "min_window_size": 20,
+            "max_window_size": 32,
+            "batch_size_vis": 4,
+            "batch_size_lang": 4,
+            "lang_folder": "lang_annotations",
+            "num_workers": 2,
+            "observation_space": OBS_SPACE,
+            "proprioception_dims": PROPRIO,
+        }
+        cfg.update(over)
+        dm = Hulc2DataModule(cfg, seed=0)
+        dm.setup()
+        return dm
+
+    def test_fused_loader_matches_composable_path(self, calvin_dir):
+        """FusedBatchLoader (single host pass) must produce the same fused
+        batch CONTENT as BatchLoader -> collate -> zip -> fuse_batch_host for
+        a deterministic configuration (fixed window size, no shuffle)."""
+        from hulc2_tpu.data.loader import FusedBatchLoader, fuse_batch_host, zip_modalities
+
+        dm = self._dm(calvin_dir, min_window_size=24, max_window_size=24)
+        fused = next(iter(FusedBatchLoader(
+            dm.datasets["vis_training"], dm.datasets["lang_training"],
+            4, 4, shuffle=False, num_threads=2,
+        )))
+        ref = fuse_batch_host(next(iter(zip_modalities(
+            BatchLoader(dm.datasets["vis_training"], 4, shuffle=False, num_threads=1),
+            BatchLoader(dm.datasets["lang_training"], 4, shuffle=False, num_threads=1),
+        ))))
+        assert set(fused) == set(ref)
+        for k in ref:
+            np.testing.assert_array_equal(fused[k], np.asarray(ref[k]), err_msg=k)
+
+    def test_fused_loader_shapes_and_padding(self, calvin_dir):
+        """Random window sizes: padded regions must repeat observations and
+        zero rel-actions (except the gripper dim), like the reference
+        base_dataset.py:121-147 semantics."""
+        from hulc2_tpu.data.loader import FusedBatchLoader
+
+        dm = self._dm(calvin_dir)
+        ldr = FusedBatchLoader(
+            dm.datasets["vis_training"], dm.datasets["lang_training"],
+            4, 4, shuffle=True, num_threads=2,
+        )
+        batch = next(iter(ldr))
+        assert batch["rgb_static"].shape == (8, 32, HW, HW, 3)
+        assert batch["lang"].shape == (4, 384)
+        assert batch["use_for_aux_lang_loss"].shape == (4,)
+        # find a padded row and check semantics (windows are 20..32)
+        for row in range(8):
+            acts = batch["actions"][row]
+            rgb = batch["rgb_static"][row]
+            tail_equal = np.array_equal(rgb[-1], rgb[-2])
+            if tail_equal and not np.array_equal(acts[-1, :-1], acts[-2, :-1]):
+                continue  # can't distinguish; skip
+            if tail_equal:
+                assert np.all(acts[-1, :-1] == 0.0) or np.array_equal(acts[-1], acts[-2])
+        assert len(ldr) == min(len(dm.datasets["vis_training"]) // 4,
+                               len(dm.datasets["lang_training"]) // 4)
+
     def test_proprio_slicing_matches_reference_semantics(self, calvin_dir):
         stats = load_statistics(calvin_dir / "training")
         raw = jnp.asarray(np.random.default_rng(3).standard_normal((2, 5, 15)), jnp.float32)
