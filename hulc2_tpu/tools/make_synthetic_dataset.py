@@ -103,11 +103,12 @@ def make_synthetic_calvin(
         lf = d / lang_folder
         lf.mkdir(exist_ok=True)
         np.save(lf / "auto_lang_ann.npy", ann, allow_pickle=True)
-        # eval-style canonical lookup (reference: embeddings.npy)
+        # eval-style canonical lookup for EVERY task (reference:
+        # embeddings.npy) so rollout callbacks never need stub fallbacks
         emb_lookup = {
             t: {"ann": [ANNOTATION_BANK[t][0]],
                 "emb": rng.standard_normal((1, lang_dim)).astype(np.float32)}
-            for t in sorted(set(tasks))
+            for t in TASK_NAMES
         }
         np.save(lf / "embeddings.npy", emb_lookup)
         (d / "statistics.yaml").write_text(STATS_YAML)
