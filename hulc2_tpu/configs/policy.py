@@ -74,6 +74,20 @@ register(
 )
 register(
     "model/perceptual_encoder",
+    "static_clip",  # frozen CLIP image tower on the static cam (pair with
+    # datamodule/transforms=clip for 224-px inputs + CLIP channel stats);
+    # model_name switches RN50 <-> ViT-B/32 (reference vision_clip.py:10)
+    {
+        "rgb_static": VISION_CLIP,
+        "rgb_gripper": VISION_GRIPPER,
+        "depth_static": None,
+        "depth_gripper": None,
+        "tactile": None,
+        "proprio": None,
+    },
+)
+register(
+    "model/perceptual_encoder",
     "static_rgb_tactile",
     {
         "rgb_static": VISION_STATIC,

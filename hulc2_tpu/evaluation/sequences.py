@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import contextlib
 import functools
+import os
 from concurrent.futures import ProcessPoolExecutor
 from itertools import product
 from typing import Dict, List, Tuple
@@ -80,9 +81,55 @@ def _chains_for_state(args) -> List[np.ndarray]:
     return chains
 
 
+def _sequences_fingerprint() -> str:
+    """Cheap content hash over the benchmark-defining constants; guards the
+    disk cache against code changes to the task set or chain rules."""
+    import hashlib
+
+    payload = repr((TASK_NAMES, CHAIN_LEN, sorted(POSSIBLE_CONDITIONS.items())))
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+def _sequences_cache_path(n: int):
+    import tempfile
+    from pathlib import Path
+
+    d = Path(os.environ.get("HULC2_SEQUENCES_CACHE_DIR", tempfile.gettempdir()))
+    return d / f"hulc2_sequences_{n}_{_sequences_fingerprint()}.json"
+
+
 @functools.lru_cache
 def get_sequences(num_sequences: int = 1000, num_workers: int = None) -> List[Tuple[Dict, Tuple[str, ...]]]:
-    """The benchmark: ``num_sequences`` (initial_state, 5-task-chain) pairs."""
+    """The benchmark: ``num_sequences`` (initial_state, 5-task-chain) pairs.
+
+    The chains are deterministic protocol constants (fixed seeds), so they
+    are disk-cached per (count, constants-fingerprint): rejection sampling
+    1000 chains costs ~2 min of pure Python on a 1-core host, paid once.
+    Set HULC2_SEQUENCES_CACHE_DIR="" to disable.
+    """
+    import json
+
+    cache = None
+    if os.environ.get("HULC2_SEQUENCES_CACHE_DIR", "unset") != "":
+        cache = _sequences_cache_path(num_sequences)
+        if cache.is_file():
+            try:
+                data = json.loads(cache.read_text())
+                return [(dict(state), tuple(chain)) for state, chain in data]
+            except (ValueError, OSError):  # corrupt cache — recompute
+                pass
+    result = _compute_sequences(num_sequences, num_workers)
+    if cache is not None:
+        try:
+            tmp = cache.with_suffix(f".tmp{os.getpid()}")
+            tmp.write_text(json.dumps([[s, list(c)] for s, c in result]))
+            tmp.replace(cache)  # atomic vs concurrent writers
+        except OSError:
+            pass
+    return result
+
+
+def _compute_sequences(num_sequences: int, num_workers=None) -> List[Tuple[Dict, Tuple[str, ...]]]:
     states = enumerate_initial_states()
     per_state = [len(part) for part in np.array_split(range(num_sequences), len(states))]
 

@@ -34,7 +34,7 @@ class TestBatchedEvaluator:
         cfg = cfg_lib.compose("cfg_low_level", TINY)
         model = build_policy(cfg["model"])
         params = init_params(model, cfg)
-        farm = EnvFarm([FakeCalvinEnv(static_hw=200, gripper_hw=84, seed=i) for i in range(k)])
+        farm = EnvFarm([FakeCalvinEnv(static_hw=64, gripper_hw=64, seed=i) for i in range(k)])
         agent = Hulc2Agent(farm, model, params, cfg["datamodule"], n_envs=k)
         lang = {t: hash_embed([t])[0] for t in TASK_NAMES}
         ev = BatchedEvaluator(farm, agent, lang, ep_len=2)

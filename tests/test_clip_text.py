@@ -152,6 +152,7 @@ class TestClipTextTransformerParity:
         got = tower.apply({"params": params}, jnp.asarray(tokens, jnp.int32))
         np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
 
+    @pytest.mark.slow
     def test_gradients_flow_unless_frozen(self):
         from hulc2_tpu.models.clip_text import ClipTextTransformer
 
@@ -168,6 +169,7 @@ class TestClipTextTransformerParity:
 
 
 class TestInLoopLanguageTower:
+    @pytest.mark.slow
     def test_train_step_backprops_through_clip_tower(self):
         """Config #3 end-to-end: batch carries BPE token ids, the policy's
         in-graph CLIP text tower embeds them inside the jitted train step,

@@ -49,14 +49,31 @@ class TestSequences:
         # 12 admissible block placements x 16 device-state combos
         assert len(enumerate_initial_states()) == 192
 
+    @pytest.mark.slow
     def test_golden_chains_bit_identical(self):
         """First 8 of the 1000-chain benchmark, verified bit-identical against
-        the reference generator (multistep_sequences.py) at fixture creation."""
-        seqs = get_sequences(1000)
+        the reference generator (multistep_sequences.py) at fixture creation.
+        Bypasses the disk cache: this test IS the recompute check."""
+        from hulc2_tpu.evaluation.sequences import _compute_sequences
+
+        seqs = _compute_sequences(1000)
         assert len(seqs) == 1000
         for expected, (state, chain) in zip(GOLDEN, seqs[: len(GOLDEN)]):
             assert dict(state) == expected["state"]
             assert list(chain) == expected["chain"]
+
+    def test_sequence_disk_cache_roundtrips(self, tmp_path, monkeypatch):
+        """The cached benchmark chains must equal a fresh computation."""
+        from hulc2_tpu.evaluation import sequences as seq
+
+        monkeypatch.setenv("HULC2_SEQUENCES_CACHE_DIR", str(tmp_path))
+        seq.get_sequences.cache_clear()
+        first = seq.get_sequences(12)
+        assert seq._sequences_cache_path(12).is_file()
+        seq.get_sequences.cache_clear()
+        second = seq.get_sequences(12)  # served from disk
+        assert first == second
+        assert [(dict(s), tuple(c)) for s, c in seq._compute_sequences(12)] == second
 
     def test_all_chains_valid_and_category_distinct(self):
         for state, chain in get_sequences(200):

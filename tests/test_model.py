@@ -83,6 +83,7 @@ class TestHulc2Forward:
             rtol=1e-5,
         )
 
+    @pytest.mark.slow
     def test_fused_equals_per_modality_kl_and_clip(self, model_and_params):
         """Deterministic pieces of the fused pass (KL, CLIP aux) must equal the
         per-modality passes exactly; the action loss depends on the plan
@@ -132,6 +133,7 @@ class TestHulc2Forward:
         for k in ("vis_total_mae_pp", "vis_total_mae_pr", "lang_grip_sr_pp", "vis_kl_loss"):
             assert np.isfinite(float(metrics[k])), k
 
+    @pytest.mark.slow
     def test_gradients_flow(self, model_and_params):
         cfg, model, params, batch = model_and_params
 
@@ -187,6 +189,7 @@ class TestPolicyStep:
 
 
 class TestAuxLosses:
+    @pytest.mark.slow
     def test_state_recons_bcz_mia(self):
         """GCBC-style auxiliary losses produce finite masked metrics and
         gradients (reference: gcbc.py:95-180)."""

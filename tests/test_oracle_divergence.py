@@ -40,7 +40,7 @@ REVERSE = {
 }
 
 
-def collect_transitions(n_chains=400):
+def collect_transitions(n_chains=150):
     """(task, start_info, end_info) tuples from symbolic chain execution —
     the recorded-transition corpus both oracles are replayed over."""
     out = []

@@ -107,6 +107,7 @@ class TestTrainerSmoke:
         assert losses[-1] < losses[0], losses
 
 
+@pytest.mark.slow
 def test_host_prefused_batch_matches_per_modality():
     """fuse_batch_host + the train step's prefused path produce the same loss
     and gradients as the per-modality path (same rng streams)."""
