@@ -178,9 +178,7 @@ class AffordancePredictor:
 
         self._predict = _predict
 
-    def predict(self, img_uint8: np.ndarray, lang_emb) -> Dict:
-        from hulc2_tpu.ops.preprocess import resize
-
+    def _resolve_lang(self, lang_emb) -> np.ndarray:
         if isinstance(lang_emb, str):
             try:
                 lang_emb = self.lang_table[lang_emb]
@@ -189,19 +187,42 @@ class AffordancePredictor:
                     f"no affordance language embedding for caption {lang_emb!r} — "
                     "provide a lang_table (caption -> embedding) to AffordancePredictor"
                 ) from None
-        img = jnp.asarray(img_uint8[None]).astype(jnp.float32) / 255.0
-        img = resize(img, *self.input_hw)
-        lang = jnp.asarray(lang_emb[None], jnp.float32)
+        return np.asarray(lang_emb, np.float32)
+
+    def predict(self, img_uint8: np.ndarray, lang_emb) -> Dict:
+        return self.predict_batch([img_uint8], [lang_emb])[0]
+
+    def predict_batch(self, imgs_uint8, lang_embs) -> list:
+        """Batched inference: N (image, lang) pairs in ONE dispatch. The
+        batch is padded to the next power of two so the jitted program
+        compiles once per bucket, not once per request count (the batched
+        evaluator's approach waves vary in size every round)."""
+        from hulc2_tpu.ops.preprocess import resize
+
+        n = len(imgs_uint8)
+        cap = 1 << max(0, int(n - 1).bit_length())  # next pow2 >= n
+        imgs = np.stack([np.asarray(im) for im in imgs_uint8])
+        langs = np.stack([self._resolve_lang(e) for e in lang_embs])
+        if cap > n:  # pad with row 0 (discarded)
+            imgs = np.concatenate([imgs, np.repeat(imgs[:1], cap - n, 0)])
+            langs = np.concatenate([langs, np.repeat(langs[:1], cap - n, 0)])
+        dev_imgs = resize(jnp.asarray(imgs).astype(jnp.float32) / 255.0, *self.input_hw)
         self._n += 1
         px, depth, heat = self._predict(
-            self.variables, img, lang, jax.random.fold_in(self._key, self._n)
+            self.variables, dev_imgs, jnp.asarray(langs),
+            jax.random.fold_in(self._key, self._n),
         )
-        px = np.asarray(px[0])
-        # map back to original resolution ((row, col) -> reference's (x, y))
-        sy = img_uint8.shape[0] / self.input_hw[0]
-        sx = img_uint8.shape[1] / self.input_hw[1]
-        pixel = (int(px[1] * sx), int(px[0] * sy))
-        out = {"pixel": pixel, "softmax": np.asarray(heat[0])}
-        if depth is not None:
-            out["depth"] = float(np.asarray(depth).squeeze())
-        return out
+        px = np.asarray(px)
+        depth = None if depth is None else np.asarray(depth).reshape(cap, -1)[:, 0]
+        heat = np.asarray(heat)
+        outs = []
+        for i in range(n):
+            # map back to original resolution ((row, col) -> reference's (x, y))
+            sy = imgs_uint8[i].shape[0] / self.input_hw[0]
+            sx = imgs_uint8[i].shape[1] / self.input_hw[1]
+            out = {"pixel": (int(px[i, 1] * sx), int(px[i, 0] * sy)),
+                   "softmax": heat[i]}
+            if depth is not None:
+                out["depth"] = float(depth[i])
+            outs.append(out)
+        return outs

@@ -99,12 +99,11 @@ class _Cohort:
         job.steps_left = self.ev.ep_len
         job.start_info = self.farm.envs[i].get_info()
         self.agent.reset_env_slot(i)
-        # hierarchical mode (reference: lmp_agent.py:195-235): query the
-        # affordance model and PD-approach the predicted 3D point first when
-        # the prediction is far from the TCP
-        job.approach = self.ev.make_approach(
-            self.farm.envs[i], self.obs[i], job.chain[job.subtask_idx]
-        )
+        # hierarchical mode (reference: lmp_agent.py:195-235): queue an
+        # affordance query; all queries raised in one settle round are
+        # flushed as ONE batched predict at the next dispatch
+        self.ev.queue_approach(self.farm.envs[i], self.obs[i], job,
+                               job.chain[job.subtask_idx])
 
     def dispatch(self):
         """Submit the next policy step for this cohort (non-blocking).
@@ -118,6 +117,7 @@ class _Cohort:
         if any(o is None for o in self.obs):
             self.obs = [o if o is not None else e.get_obs()
                         for o, e in zip(self.obs, self.farm.envs)]
+        self.ev.flush_approaches()  # resolve queued affordance queries first
         self._pd_actions = [None] * self.k
         for i in range(self.k):
             job = self.jobs[i]
@@ -216,6 +216,7 @@ class PipelinedEvaluator:
         self.n_aff_predictions = 0
         self.n_approaches = 0
         self.n_approach_steps = 0
+        self._aff_pending: List = []
         self._cam_cache: Dict[int, object] = {}
         self.cohorts = [_Cohort(farm, agent, self) for farm, agent in cohorts]
         # shared job queue state (set per evaluate() call)
@@ -253,18 +254,45 @@ class PipelinedEvaluator:
             self._cam_cache[id(env)] = cam
         return cam
 
+    def queue_approach(self, env, obs, job, subtask: str) -> None:
+        """Record an affordance query for ``job``; resolved (batched) by
+        ``flush_approaches`` before the next policy dispatch."""
+        if self.affordance is None:
+            return
+        self._aff_pending.append((env, obs, job, subtask))
+
+    def flush_approaches(self) -> None:
+        """Resolve all queued affordance queries with ONE batched prediction
+        (each query would otherwise be a separate ~60 ms B=1 dispatch on a
+        tunneled chip — the initial wave queues one per env)."""
+        if not self._aff_pending:
+            return
+        reqs, self._aff_pending = self._aff_pending, []
+        langs = [self.aff_lang[self.task_to_ann.get(t, t)] for _, _, _, t in reqs]
+        imgs = [obs["rgb_obs"]["rgb_static"] for _, obs, _, _ in reqs]
+        if len(reqs) > 1 and hasattr(self.affordance, "predict_batch"):
+            preds = self.affordance.predict_batch(imgs, langs)
+        else:
+            preds = [self.affordance.predict(img, lang) for img, lang in zip(imgs, langs)]
+        self.n_aff_predictions += len(reqs)
+        for (env, obs, job, _), pred in zip(reqs, preds):
+            job.approach = self._approach_from_pred(env, obs, pred)
+
     def make_approach(self, env, obs, subtask: str):
-        """Affordance predict -> deproject -> ApproachController, or None
-        when no affordance model is set or the predicted pixel is already
+        """Unbatched variant: affordance predict -> deproject ->
+        ApproachController, or None when the predicted pixel is already
         within ``move_threshold_px`` of the TCP (reference:
         lmp_agent.py:195-235 'move only if the target is far')."""
         if self.affordance is None:
             return None
-        from hulc2_tpu.agents.approach import ApproachController
-
         key = self.task_to_ann.get(subtask, subtask)
         pred = self.affordance.predict(obs["rgb_obs"]["rgb_static"], self.aff_lang[key])
         self.n_aff_predictions += 1
+        return self._approach_from_pred(env, obs, pred)
+
+    def _approach_from_pred(self, env, obs, pred):
+        from hulc2_tpu.agents.approach import ApproachController
+
         cam = self._camera(env)
         if "depth" in pred:
             target = cam.deproject_single_depth(pred["pixel"], pred["depth"])

@@ -85,6 +85,19 @@ class _StubPredictor:
         return {"pixel": self.pixel, "depth": self.depth}
 
 
+class _BatchStubPredictor(_StubPredictor):
+    """Stub with the batched interface; records per-call batch sizes."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.batch_sizes = []
+
+    def predict_batch(self, imgs, langs):
+        self.batch_sizes.append(len(imgs))
+        self.n_calls += 1
+        return [{"pixel": self.pixel, "depth": self.depth} for _ in imgs]
+
+
 def _tiny_policy():
     from hulc2_tpu.evaluation.loading import init_params
     from hulc2_tpu.models.build import build_policy
@@ -131,6 +144,38 @@ class TestHierarchicalEvaluator:
         assert pred.n_calls > 0
         assert ev.n_approaches == 0
         assert ev.n_approach_steps == 0
+
+    def test_initial_wave_is_one_batched_prediction(self):
+        """At evaluate() start every env queues an affordance query; they
+        must be flushed as ONE batched predict (not K serialized B=1
+        dispatches)."""
+        pred = _BatchStubPredictor(pixel=(180, 20))
+        ev, results = self._evaluator(pred, k=2, n_seq=2)
+        assert pred.batch_sizes, "predict_batch never used"
+        assert pred.batch_sizes[0] == 2  # the initial wave covers both envs
+        assert ev.n_approaches > 0
+
+    def test_predictor_batch_matches_single(self):
+        """AffordancePredictor.predict_batch (pow2-bucketed) must agree with
+        per-sample predict."""
+        import jax
+        import jax.numpy as jnp
+
+        from hulc2_tpu.affordance.detector import AffordanceDetector, AffordancePredictor
+
+        model = AffordanceDetector(decoder_channels=(16, 8, 8, 8, 8),
+                                   lang_embed_dim=8, depth_dist="gaussian")
+        img0 = jnp.zeros((1, 32, 32, 3))
+        variables = model.init(jax.random.PRNGKey(0), img0, jnp.zeros((1, 8)), False)
+        p = AffordancePredictor(model, variables, input_hw=(32, 32))
+        rng = np.random.default_rng(0)
+        imgs = [rng.integers(0, 256, (48, 48, 3), np.uint8) for _ in range(3)]
+        langs = [rng.standard_normal(8).astype(np.float32) for _ in range(3)]
+        batch = p.predict_batch(imgs, langs)
+        assert len(batch) == 3
+        for i in range(3):
+            single = p.predict(imgs[i], langs[i])
+            assert single["pixel"] == batch[i]["pixel"]
 
     def test_approach_moves_toward_deprojected_target(self):
         """The PD phase must actually drive the robot toward the deprojected
