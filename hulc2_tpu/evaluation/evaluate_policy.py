@@ -116,6 +116,10 @@ def main(argv=None):
             argv_rest += ["--dataset-path", args.dataset_path]
         if args.fake_env:
             argv_rest += ["--fake-env"]
+        if args.aff_train_dir:
+            argv_rest += ["--aff-train-dir", args.aff_train_dir]
+        if args.n_envs > 1:
+            argv_rest += ["--n-envs", str(args.n_envs), "--cohorts", str(args.cohorts)]
         return run_all(argv_rest)
 
     t0 = time.time()

@@ -39,6 +39,10 @@ def main(argv=None):
     p.add_argument("--workers", type=int, default=1)
     p.add_argument("--fake-env", action="store_true")
     p.add_argument("--checkpoints", type=int, nargs="*", default=None)
+    p.add_argument("--aff-train-dir", default=None,
+                   help="forwarded: hierarchical mode per checkpoint")
+    p.add_argument("--n-envs", type=int, default=None)
+    p.add_argument("--cohorts", type=int, default=None)
     args = p.parse_args(argv)
 
     steps = args.checkpoints or list_checkpoints(args.train_dir)
@@ -56,6 +60,12 @@ def main(argv=None):
             cmd += ["--dataset-path", args.dataset_path]
         if args.fake_env:
             cmd += ["--fake-env"]
+        if args.aff_train_dir:
+            cmd += ["--aff-train-dir", args.aff_train_dir]
+        if args.n_envs:
+            cmd += ["--n-envs", str(args.n_envs)]
+        if args.cohorts:
+            cmd += ["--cohorts", str(args.cohorts)]
         return cmd
 
     if args.workers <= 1:
