@@ -26,7 +26,7 @@ from hulc2_tpu.evaluation.tasks import TASK_NAMES
 from hulc2_tpu.tools.auto_lang_annotator import hash_embed
 from hulc2_tpu.models.build import build_policy
 
-K = 64
+K = int(os.environ.get("K", "64"))
 cfg = cfg_lib.compose("cfg_low_level")
 model = build_policy(cfg["model"])
 params = init_params(model, cfg)
@@ -35,11 +35,34 @@ farm = EnvFarm([FakeCalvinEnv(static_hw=200, gripper_hw=84, seed=i) for i in ran
 agent = Hulc2Agent(farm, model, params, cfg["datamodule"], n_envs=K)
 g = np.stack([lang[TASK_NAMES[0]]] * K)
 agent.step(farm.get_obs(), {"lang": g})  # compile
-ev = BatchedEvaluator(farm, agent, lang, ep_len=360)
+
+# AFF=1: the full HULC++ hierarchical protocol — a full-size affordance
+# detector (random weights; same compute) predicts per subtask, approaches
+# run through the PD state machine inside the batched evaluator
+affordance = None
+aff_lang = None
+if os.environ.get("AFF", "") == "1":
+    import jax, jax.numpy as jnp
+    from hulc2_tpu.affordance.detector import AffordanceDetector, AffordancePredictor
+
+    det = AffordanceDetector(lang_embed_dim=1024, depth_dist="gaussian")
+    variables = det.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)),
+                         jnp.zeros((1, 1024)), False)
+    affordance = AffordancePredictor(det, variables)
+    rng = np.random.default_rng(0)
+    aff_lang = {t: rng.standard_normal(1024).astype(np.float32) for t in TASK_NAMES}
+
+ev = BatchedEvaluator(farm, agent, lang, ep_len=360,
+                      affordance=affordance, aff_lang_embeddings=aff_lang)
 seqs = get_sequences(int(os.environ.get("CHAINS", "100")))
 t0 = time.time()
 results = ev.evaluate(sequences=seqs, progress=True)
 dt = time.time() - t0
 n_steps = len(seqs) * 5 * 360  # worst case: untrained policy always times out
-print(f"{len(seqs)} chains, ep_len=360, K=64: {dt/60:.1f} min "
-      f"({n_steps/dt:.0f} env-steps/s) -> 1000-chain extrapolation ~{dt*(1000/len(seqs))/60:.0f} min", flush=True)
+mode = "hierarchical" if affordance is not None else "policy-only"
+print(f"{len(seqs)} chains, ep_len=360, K={K} [{mode}]: {dt/60:.1f} min "
+      f"({n_steps/dt:.0f} env-steps/s) -> 1000-chain extrapolation ~{dt*(1000/len(seqs))/60:.0f} min",
+      flush=True)
+if affordance is not None:
+    print(f"  {ev.n_aff_predictions} affordance predictions, {ev.n_approaches} approaches, "
+          f"{ev.n_approach_steps} approach steps", flush=True)
