@@ -135,7 +135,12 @@ class FusedBatchLoader:
         self.bl = batch_size_lang
         self.shuffle = shuffle
         self.seed = seed
-        self.num_threads = num_threads
+        import os as _os
+
+        # copies are CPU-bound memcpy: threads beyond the core count only
+        # thrash the scheduler (measured 16x collapse at 8 threads on a
+        # 1-core host); batch-level overlap comes from the outer pool
+        self.num_threads = max(1, min(num_threads, _os.cpu_count() or num_threads))
         self.process_index = process_index
         self.process_count = process_count
         self.epoch = 0
