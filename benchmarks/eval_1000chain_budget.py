@@ -51,6 +51,12 @@ if os.environ.get("AFF", "") == "1":
     affordance = AffordancePredictor(det, variables)
     rng = np.random.default_rng(0)
     aff_lang = {t: rng.standard_normal(1024).astype(np.float32) for t in TASK_NAMES}
+    # pre-compile the pow2 buckets the run will hit (initial wave = K, then
+    # singleton waves) so the timed section measures eval, not compiles
+    dummy_img = np.zeros((200, 200, 3), np.uint8)
+    dummy_lang = aff_lang[TASK_NAMES[0]]
+    for bucket in {K, 1}:
+        affordance.predict_batch([dummy_img] * bucket, [dummy_lang] * bucket)
 
 ev = BatchedEvaluator(farm, agent, lang, ep_len=360,
                       affordance=affordance, aff_lang_embeddings=aff_lang)
