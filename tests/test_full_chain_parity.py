@@ -328,14 +328,13 @@ def test_logistic_loss_vs_reference_impl(stacks, chain_outputs):
     assert abs(total - float(loss_t)) < 1e-4, (total, float(loss_t))
 
 
-@pytest.mark.slow
-def test_clip_modified_resnet_vs_vendored_reference(ref):
-    """My flax CLIP visual tower + converter vs the ACTUAL vendored CLIP
-    ModifiedResNet (perceptual_encoders/clip.py:130-210), incl. the
-    prepool_im pyramid consumed by CLIP-LingUNet."""
+def _import_vendored_clip():
+    """The reference's vendored clip.py with its heavy unused deps stubbed
+    (torchvision transforms / ftfy are download/preprocess-time only)."""
     if "torchvision" not in sys.modules:
         tv = types.ModuleType("torchvision")
         tr = types.ModuleType("torchvision.transforms")
+
         class _InterpolationMode:
             BICUBIC = "bicubic"
 
@@ -349,7 +348,15 @@ def test_clip_modified_resnet_vs_vendored_reference(ref):
         ftfy = types.ModuleType("ftfy")
         ftfy.fix_text = lambda s: s
         sys.modules["ftfy"] = ftfy
-    clip_mod = importlib.import_module("hulc2.models.perceptual_encoders.clip")
+    return importlib.import_module("hulc2.models.perceptual_encoders.clip")
+
+
+@pytest.mark.slow
+def test_clip_modified_resnet_vs_vendored_reference(ref):
+    """My flax CLIP visual tower + converter vs the ACTUAL vendored CLIP
+    ModifiedResNet (perceptual_encoders/clip.py:130-210), incl. the
+    prepool_im pyramid consumed by CLIP-LingUNet."""
+    clip_mod = _import_vendored_clip()
 
     from hulc2_tpu.models.clip_resnet import ClipModifiedResNet, convert_clip_visual
 
@@ -374,6 +381,30 @@ def test_clip_modified_resnet_vs_vendored_reference(ref):
     # my pyramid = [stem, layer1..4]; reference prepool_im = [stem relus..., avgpool, layer1..4]
     for f_j, f_t in zip(feats_j[1:], pyramid_t[-4:]):
         np.testing.assert_allclose(np.asarray(f_j).transpose(0, 3, 1, 2), f_t.numpy(), atol=2e-4)
+
+
+@pytest.mark.slow
+def test_clip_vit_vs_vendored_reference(ref):
+    """My flax CLIP ViT + converter vs the ACTUAL vendored CLIP
+    VisionTransformer (perceptual_encoders/clip.py:266-307) — the second
+    image tower VisionClip supports (VERDICT r1 item 5)."""
+    clip_mod = _import_vendored_clip()
+
+    from hulc2_tpu.models.clip_vit import ClipVisionTransformer, convert_clip_vit
+
+    torch.manual_seed(3)
+    res, patch, width, layers, heads, out_dim = 32, 8, 32, 2, 4, 16
+    net_t = clip_mod.VisionTransformer(res, patch, width, layers, heads, out_dim).eval()
+    with torch.no_grad():
+        x = torch.randn(2, 3, res, res)
+        emb_t = net_t(x)
+
+    sd = {f"visual.{k}": v for k, v in net_t.state_dict().items()}
+    params, kwargs = convert_clip_vit(sd)
+    assert kwargs["patch_size"] == patch and kwargs["input_resolution"] == res
+    model = ClipVisionTransformer(**{**kwargs, "heads": heads})
+    emb_j = model.apply({"params": params}, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(emb_j), emb_t.numpy(), atol=2e-4)
 
 
 @pytest.mark.slow
