@@ -316,6 +316,7 @@ class TestAuxScripts:
 
 
 class TestComputeDtype:
+    @pytest.mark.slow
     def test_bf16_decoder_close_to_f32(self):
         rng = np.random.RandomState(0)
         img = jnp.asarray(rng.rand(2, 64, 64, 3), jnp.float32)

@@ -29,6 +29,7 @@ TINY = [
 
 
 class TestBatchedEvaluator:
+    @pytest.mark.slow
     def test_schedules_all_chains(self):
         k = 4
         cfg = cfg_lib.compose("cfg_low_level", TINY)

@@ -155,6 +155,7 @@ class TestHierarchicalEvaluator:
         assert pred.batch_sizes[0] == 2  # the initial wave covers both envs
         assert ev.n_approaches > 0
 
+    @pytest.mark.slow
     def test_predictor_batch_matches_single(self):
         """AffordancePredictor.predict_batch (pow2-bucketed) must agree with
         per-sample predict."""

@@ -104,6 +104,7 @@ class TestHulc2Forward:
             float(fused["lang_clip_loss"]), float(lang_only["lang_clip_loss"]), rtol=1e-5
         )
 
+    @pytest.mark.slow
     def test_fused_equals_per_modality_gcbc(self):
         """With use_plan=False the whole pass is deterministic in eval mode:
         fused action losses must match per-modality runs exactly."""
