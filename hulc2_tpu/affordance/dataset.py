@@ -126,3 +126,20 @@ def jitter_label_and_image(rng, imgs, px, pad: int):
     shifted = shift_from_offsets(offsets, imgs, pad, sel_dtype=jnp.float32)
     new_px = jnp.clip(px + pad - offsets, 0, jnp.asarray([h - 1, w - 1]))
     return shifted, new_px
+
+
+def jitter_mask_and_image(rng, imgs, mask, px, pad: int):
+    """Mask-label variant of :func:`jitter_label_and_image`: the binary mask
+    rides along as an extra channel through the SAME one-hot shift matmuls,
+    so image, mask and pixel label stay coherent by construction."""
+    import jax
+    import jax.numpy as jnp
+
+    from hulc2_tpu.ops.preprocess import shift_from_offsets
+
+    n, h, w, _ = imgs.shape
+    offsets = jax.random.randint(rng, (n, 2), 0, 2 * pad + 1)
+    stacked = jnp.concatenate([imgs, mask[..., None].astype(imgs.dtype)], axis=-1)
+    shifted = shift_from_offsets(offsets, stacked, pad, sel_dtype=jnp.float32)
+    new_px = jnp.clip(px + pad - offsets, 0, jnp.asarray([h - 1, w - 1]))
+    return shifted[..., :-1], (shifted[..., -1] > 0.5).astype(mask.dtype), new_px

@@ -42,16 +42,20 @@ def build_detector(aff_cfg: dict):
     )
 
 
-def make_aff_train_step(model, tx, loss_weights, img_hw: int, shift_pad: int):
+def make_aff_train_step(model, tx, loss_weights, img_hw: int, shift_pad: int,
+                        label_type: str = "pixel"):
     import jax
     import jax.numpy as jnp
 
-    from hulc2_tpu.affordance.dataset import jitter_label_and_image
+    from hulc2_tpu.affordance.dataset import jitter_label_and_image, jitter_mask_and_image
     from hulc2_tpu.ops.preprocess import resize
 
     def step(params, batch_stats, opt_state, batch, key):
         imgs = resize(batch["frame"].astype(jnp.float32) / 255.0, img_hw, img_hw)
-        imgs, px = jitter_label_and_image(key, imgs, batch["px"], shift_pad)
+        if label_type == "mask":
+            imgs, mask, px = jitter_mask_and_image(key, imgs, batch["mask"], batch["px"], shift_pad)
+        else:
+            imgs, px = jitter_label_and_image(key, imgs, batch["px"], shift_pad)
         target_depth = batch.get("normalized_depth", batch.get("depth"))
 
         def loss_fn(p):
@@ -60,7 +64,10 @@ def make_aff_train_step(model, tx, loss_weights, img_hw: int, shift_pad: int):
                 imgs, batch["lang"], True,
                 mutable=["batch_stats"],
             )
-            total, metrics = model.compute_loss(out, px, target_depth, loss_weights)
+            if label_type == "mask":
+                total, metrics = model.compute_mask_loss(out, mask, target_depth, loss_weights)
+            else:
+                total, metrics = model.compute_loss(out, px, target_depth, loss_weights)
             return total, (metrics, updates["batch_stats"])
 
         (_, (metrics, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -71,7 +78,8 @@ def make_aff_train_step(model, tx, loss_weights, img_hw: int, shift_pad: int):
     return jax.jit(step, donate_argnums=(0, 2))
 
 
-def make_aff_val_step(model, depth_norm, img_hw: int, loss_weights=None):
+def make_aff_val_step(model, depth_norm, img_hw: int, loss_weights=None,
+                      label_type: str = "pixel"):
     import jax
     import jax.numpy as jnp
 
@@ -81,10 +89,16 @@ def make_aff_val_step(model, depth_norm, img_hw: int, loss_weights=None):
         imgs = resize(batch["frame"].astype(jnp.float32) / 255.0, img_hw, img_hw)
         out = model.apply({"params": params, "batch_stats": batch_stats}, imgs, batch["lang"], False)
         target_depth = batch.get("normalized_depth", batch.get("depth"))
-        total, metrics = model.compute_loss(
-            out, batch["px"], target_depth,
-            **({"loss_weights": loss_weights} if loss_weights else {}),
-        )
+        if label_type == "mask":
+            total, metrics = model.compute_mask_loss(
+                out, batch["mask"], target_depth,
+                **({"loss_weights": loss_weights} if loss_weights else {}),
+            )
+        else:
+            total, metrics = model.compute_loss(
+                out, batch["px"], target_depth,
+                **({"loss_weights": loss_weights} if loss_weights else {}),
+            )
         px_pred, depth, _ = model.predict_from_output(key, out, depth_norm)
         metrics["px_dist_err"] = jnp.mean(
             jnp.linalg.norm((px_pred - batch["px"]).astype(jnp.float32), axis=-1)
@@ -116,10 +130,12 @@ def train(overrides=(), max_epochs: Optional[int] = None, max_steps: Optional[in
     run_dir = Path(run_dir or f"{cfg['log_dir']}/{time.strftime('%Y-%m-%d_%H-%M-%S')}")
     img_hw = aff_cfg["dataset"]["img_resize"][aff_cfg["dataset"]["cam"]]
 
+    label_type = aff_cfg["dataset"].get("label_type", "pixel")
     if synthetic:
         datasets = {
             s: SyntheticAffordanceDataset(n_synthetic if s == "training" else 8, img_hw,
-                                          aff_cfg["lang_embed_dim"], seed=i)
+                                          aff_cfg["lang_embed_dim"], seed=i,
+                                          label_type=label_type)
             for i, s in enumerate(("training", "validation"))
         }
         depth_norm = DepthNorm()
@@ -128,6 +144,7 @@ def train(overrides=(), max_epochs: Optional[int] = None, max_steps: Optional[in
             s: AffordanceDataset(
                 aff_cfg["dataset"]["data_dir"], s, aff_cfg["dataset"]["cam"], img_hw,
                 aff_cfg["dataset"].get("data_percent", 1.0),
+                label_type=label_type,
             )
             for s in ("training", "validation")
         }
@@ -142,13 +159,15 @@ def train(overrides=(), max_epochs: Optional[int] = None, max_steps: Optional[in
     model = build_detector(aff_cfg)
     tx = optim.make_optimizer(aff_cfg["optimizer"])
     sample = _collate_device([datasets["training"][0]])
-    variables = model.init(jax.random.PRNGKey(cfg["seed"]),
-                           jnp.zeros((1, img_hw, img_hw, 3), jnp.float32), sample["lang"], False)
+    variables = jax.jit(lambda r, i, l: model.init(r, i, l, False))(
+        jax.random.PRNGKey(cfg["seed"]),
+        jnp.zeros((1, img_hw, img_hw, 3), jnp.float32), sample["lang"])
     params, batch_stats = variables["params"], variables.get("batch_stats", {})
     opt_state = tx.init(params)
 
-    train_step = make_aff_train_step(model, tx, aff_cfg["loss_weights"], img_hw, cfg["rand_shift_pad"])
-    val_step = make_aff_val_step(model, depth_norm, img_hw, aff_cfg["loss_weights"])
+    train_step = make_aff_train_step(model, tx, aff_cfg["loss_weights"], img_hw,
+                                     cfg["rand_shift_pad"], label_type)
+    val_step = make_aff_val_step(model, depth_norm, img_hw, aff_cfg["loss_weights"], label_type)
     ckpt = CheckpointManager(run_dir)
     mlog = MetricsLogger(run_dir)
     key = jax.random.PRNGKey(cfg["seed"])
@@ -206,22 +225,30 @@ def _collate_device(samples, collated=None):
 class SyntheticAffordanceDataset:
     """Shape-correct random affordance frames (smoke/bench)."""
 
-    def __init__(self, n: int, hw: int, lang_dim: int, seed: int = 0):
+    def __init__(self, n: int, hw: int, lang_dim: int, seed: int = 0,
+                 label_type: str = "pixel"):
         self.n, self.hw, self.lang_dim, self.seed = n, hw, lang_dim, seed
+        self.label_type = label_type
 
     def __len__(self):
         return self.n
 
     def __getitem__(self, i):
         rng = np.random.default_rng((self.seed, i))
-        return {
+        px = rng.integers(0, self.hw, 2).astype(np.int32)
+        out = {
             "frame": rng.integers(0, 256, (self.hw, self.hw, 3), np.uint8),
-            "px": rng.integers(0, self.hw, 2).astype(np.int32),
+            "px": px,
             "depth": np.float32(rng.uniform(1.3, 4.5)),
             "normalized_depth": np.float32(rng.standard_normal()),
             "lang": rng.standard_normal(self.lang_dim).astype(np.float32),
             "idx": np.int64(i),
         }
+        if self.label_type == "mask":
+            yy, xx = np.ogrid[: self.hw, : self.hw]
+            out["mask"] = (((yy - px[0]) ** 2 + (xx - px[1]) ** 2)
+                           <= (self.hw // 10) ** 2).astype(np.float32)
+        return out
 
 
 def main(argv=None):

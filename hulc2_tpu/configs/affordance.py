@@ -92,6 +92,45 @@ register(
     },
 )
 
+# --------------------------------------------------------------------------- #
+# reference-named stream x language x label-type variants
+# (reference: conf/affordance/aff_detection/{rn18_bert_pixel,rn18_clip_pixel,
+#  rn18_sbert_pixel,rn50_bert_pixel,rn18_bert_mask,rn18_clip_mask,clip}.yaml).
+# The language encoder itself lives outside the detector (embeddings are
+# precomputed by models/language.py or the dataset); the variant fixes the
+# embedding width: clip=1024, bert/distilbert=768, sbert=384.
+# --------------------------------------------------------------------------- #
+def _aff_variant(encoder_name, lang_dim, label_type="pixel", **extra):
+    cfg = {
+        "encoder_name": encoder_name,
+        "decoder_channels": [256, 128, 64, 32, 16],
+        "fusion_type": "mult",
+        "lang_embed_dim": lang_dim,
+        "depth_dist": "gaussian",
+        "normalize_depth": True,
+        "freeze_encoder": True,
+        "optimizer": {"kind": "adam", "lr": 1e-4},
+        "loss_weights": {"aff": 0.1, "depth": 0.9},
+        "dataset": {
+            "data_dir": "data/calvin_lang_MoCEndPt",
+            "cam": "static",
+            "data_percent": 1.0,
+            "label_type": label_type,
+            "img_resize": {"static": 224, "gripper": 96, "all": 100},
+        },
+    }
+    cfg.update(extra)
+    return cfg
+
+
+register("aff_detection", "rn18_bert_pixel", _aff_variant("resnet18", 768))
+register("aff_detection", "rn18_clip_pixel", _aff_variant("resnet18", 1024))
+register("aff_detection", "rn18_sbert_pixel", _aff_variant("resnet18", 384))
+register("aff_detection", "rn50_bert_pixel", _aff_variant("resnet50", 768))
+register("aff_detection", "rn18_bert_mask", _aff_variant("resnet18", 768, "mask"))
+register("aff_detection", "rn18_clip_mask", _aff_variant("resnet18", 1024, "mask"))
+register("aff_detection", "clip", _aff_variant("clip_rn50", 1024))
+
 register(
     "root",
     "train_affordance",

@@ -229,13 +229,51 @@ register(
 
 register("model/optimizer", "adam", {"kind": "adam", "lr": "${training.lr}"})
 register("model/optimizer", "adamw", {"kind": "adamw", "lr": "${training.lr}", "weight_decay": 1e-6})
+register("model/optimizer", "sgd", {"kind": "sgd", "lr": "${training.lr}", "momentum": 0.9})
 register("model/lr_scheduler", "constant", {"kind": "constant"})
 register(
     "model/lr_scheduler",
     "linear_warmup",
     {"kind": "linear_warmup", "num_warmup_steps": 0.1, "num_training_steps": -1},
 )
+register(  # reference: conf/model/lr_scheduler/cosine_schedule_with_warmup.yaml
+    "model/lr_scheduler",
+    "cosine_warmup",
+    {"kind": "cosine", "num_warmup_steps": 0.1, "num_training_steps": -1},
+)
 register("model/proj_vis_lang", "default", {"output_dim": 32, "proj_lang": True})
+
+# --------------------------------------------------------------------------- #
+# per-camera perceptual subgroups — the reference's
+# conf/model/perceptual_encoder/{rgb_static,rgb_gripper,...}/ option dirs;
+# selected via e.g. `model/perceptual_encoder/rgb_static=r3m` (any subgroup
+# also accepts `=none`). The composites above remain the common presets.
+# --------------------------------------------------------------------------- #
+VISION_CONV = {  # reference: rgb_static/vision_conv.yaml
+    "_name_": "vision_conv",
+    "visual_features": 64,
+    "activation_function": "ReLU",
+    "dropout_vis_fc": 0.0,
+    "l2_normalize_output": False,
+}
+VISION_RESNET_AFF = {  # reference: rgb_static/resnet_aff.yaml (depth-3 trunk)
+    "_name_": "vision_resnet_aff",
+    "visual_features": 64,
+    "freeze_backbone": True,
+    "depth": 3,
+}
+for _cam, _default in (("rgb_static", VISION_STATIC), ("rgb_gripper", VISION_GRIPPER)):
+    _g = f"model/perceptual_encoder/{_cam}"
+    register(_g, "default", dict(_default))
+    register(_g, "r3m", dict(VISION_R3M))
+    register(_g, "resnet", dict(VISION_RESNET))
+    register(_g, "resnet_aff", dict(VISION_RESNET_AFF))
+register("model/perceptual_encoder/rgb_static", "clip", dict(VISION_CLIP))
+register("model/perceptual_encoder/rgb_static", "vision_conv", VISION_CONV)
+register("model/perceptual_encoder/depth_static", "default", dict(DEPTH_STATIC))
+register("model/perceptual_encoder/depth_gripper", "default", dict(DEPTH_GRIPPER))
+register("model/perceptual_encoder/tactile", "default", dict(TACTILE))
+register("model/perceptual_encoder/proprio", "identity", dict(PROPRIO_IDENTITY))
 
 # --------------------------------------------------------------------------- #
 # model composites                                                             #

@@ -129,7 +129,10 @@ def apply_overrides(cfg: dict, overrides: Sequence[str]) -> dict:
         if "=" not in ov:
             raise ValueError(f"override {ov!r} must be key=value")
         key, _, val = ov.partition("=")
-        if "/" in key:  # group swap
+        if "/" not in key and "." not in key and key in _GROUPS and val.strip() in _GROUPS[key]:
+            # top-level group selection, e.g. ``aff_detection=rn50_clip_pixel``
+            _set_path(cfg, key, _expand_defaults(_get_group_cfg(key, val.strip())))
+        elif "/" in key:  # group swap
             sub = _get_group_cfg(key, val.strip())
             dotted = key.replace("/", ".")
             # allow both "model/distribution" and "distribution" roots

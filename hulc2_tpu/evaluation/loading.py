@@ -67,7 +67,9 @@ def init_params(model: Hulc2, cfg: dict):
         "sample": jax.random.PRNGKey(1),
         "dropout": jax.random.PRNGKey(2),
     }
-    return model.init(rngs, dummy_model_batch(cfg))
+    # jitted init: one cacheable XLA program instead of thousands of eager op
+    # dispatches (~15x faster with a warm persistent compilation cache)
+    return jax.jit(model.init)(rngs, dummy_model_batch(cfg))
 
 
 def load_policy(run_dir, step: Optional[int] = None) -> Tuple[Hulc2, dict, dict]:
@@ -105,11 +107,10 @@ def load_affordance(run_dir, step: Optional[int] = None, lang_table=None, seed: 
     aff_cfg = cfg["aff_detection"]
     model = build_detector(aff_cfg)
     img_hw = aff_cfg["dataset"]["img_resize"][aff_cfg["dataset"]["cam"]]
-    template = model.init(
+    template = jax.jit(lambda r, i, l: model.init(r, i, l, False))(
         jax.random.PRNGKey(0),
         jnp.zeros((1, img_hw, img_hw, 3), jnp.float32),
         jnp.zeros((1, aff_cfg["lang_embed_dim"]), jnp.float32),
-        False,
     )
     state_template = {"params": template["params"],
                       "batch_stats": template.get("batch_stats", {})}

@@ -78,6 +78,15 @@ def _vision_resnet(**kw):
     return VisionResNet(dtype=dtype, **kw)
 
 
+@cfg_lib.factory("vision_resnet_aff")
+def _vision_resnet_aff(**kw):
+    from hulc2_tpu.models.pretrained_vision import VisionResNetAff
+
+    kw.pop("input_shape", None)  # flax infers shapes; reference passes [H,W,C]
+    dtype = _DTYPES[kw.pop("compute_dtype", "float32")]
+    return VisionResNetAff(dtype=dtype, **kw)
+
+
 @cfg_lib.factory("tactile_encoder")
 def _tactile(**kw):
     from hulc2_tpu.models.pretrained_vision import TactileEncoder

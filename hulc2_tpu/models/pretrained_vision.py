@@ -116,6 +116,35 @@ class VisionResNet(nn.Module):
         return Dense(self.visual_features, dtype=self.dtype, name="fc2")(h)
 
 
+class VisionResNetAff(nn.Module):
+    """Truncated ImageNet ResNet18 trunk + flattened 3-layer FC head
+    (reference: vision_resnet_aff.py:10-40 — smp ``get_encoder(depth=3)``
+    stops after layer2, flattens the stride-8 map and runs
+    relu(fc1 512) -> relu(fc2 256) -> fc3).
+
+    The trunk is always frozen: the reference sets requires_grad=False on
+    every encoder param, and its ``freeze_backbone`` branch re-enables only
+    ``layer4`` — a stage a depth-3 encoder never runs — so no trunk gradient
+    flows there either. Stages past ``depth`` are dead code under XLA (their
+    outputs are unused and DCE'd); their init-time params are harmless and
+    simply ignored by checkpoint converters.
+    """
+
+    visual_features: int = 64
+    depth: int = 3  # smp contract: feature index == last built stage
+    freeze_backbone: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        feats = ResNet("resnet18", name="resnet")(x)
+        y = jax.lax.stop_gradient(feats[self.depth])  # trunk frozen (see doc)
+        h = y.reshape((y.shape[0], -1))
+        h = jax.nn.relu(Dense(512, dtype=self.dtype, name="fc1")(h))
+        h = jax.nn.relu(Dense(256, dtype=self.dtype, name="fc2")(h))
+        return Dense(self.visual_features, dtype=self.dtype, name="fc3")(h)
+
+
 # --------------------------------------------------------------------------- #
 def convert_r3m_checkpoint(state_dict: Dict[str, Any], arch: str = "resnet18"):
     """R3M torch checkpoint (keys like ``module.convnet.conv1.weight`` or

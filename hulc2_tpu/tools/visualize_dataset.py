@@ -88,9 +88,10 @@ def visualize_affordance(data_dir, train_dir: str = None, out_dir: str = None,
         img_hw = cfg["aff_detection"]["dataset"]["img_resize"][cfg["aff_detection"]["dataset"]["cam"]]
         # restore raw variable dict
         variables = ckpt.restore(
-            model.init(jax.random.PRNGKey(0),
-                       np.zeros((1, img_hw, img_hw, 3), np.float32),
-                       np.zeros((1, cfg["aff_detection"]["lang_embed_dim"]), np.float32), False)
+            jax.jit(lambda r, i, l: model.init(r, i, l, False))(
+                jax.random.PRNGKey(0),
+                np.zeros((1, img_hw, img_hw, 3), np.float32),
+                np.zeros((1, cfg["aff_detection"]["lang_embed_dim"]), np.float32))
         )
         predictor = AffordancePredictor(model, variables, input_hw=(img_hw, img_hw))
 

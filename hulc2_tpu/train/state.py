@@ -23,7 +23,7 @@ class TrainState(NamedTuple):
 
 
 def create_train_state(init_fn: Callable[[], Any], tx: optax.GradientTransformation) -> TrainState:
-    params = init_fn()
+    params = jax.jit(init_fn)()  # one cacheable program, not eager op-by-op
     return TrainState(params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32))
 
 

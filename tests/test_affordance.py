@@ -81,14 +81,15 @@ class TestDetector:
         )
         img = jnp.zeros((2, 64, 64, 3))
         lang = jnp.zeros((2, 64))
-        variables = model.init(jax.random.PRNGKey(0), img, lang, False)
+        variables = jax.jit(lambda r, i, l: model.init(r, i, l, False))(
+            jax.random.PRNGKey(0), img, lang)
         return model, variables
 
     def test_forward_and_loss(self, detector):
         model, variables = detector
         img = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3), jnp.float32)
         lang = jnp.asarray(np.random.RandomState(1).rand(2, 64), jnp.float32)
-        out = model.apply(variables, img, lang, False)
+        out = jax.jit(lambda v, i, l: model.apply(v, i, l, False))(variables, img, lang)
         assert out.aff_logits.shape == (2, 64 * 64)
         px = jnp.asarray([[10, 20], [30, 40]])
         depth = jnp.asarray([0.5, -0.2])
@@ -143,7 +144,8 @@ class TestR3MStream:
         )
         img = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 3), jnp.float32)
         lang = jnp.asarray(np.random.RandomState(1).rand(1, 32), jnp.float32)
-        variables = model.init(jax.random.PRNGKey(0), img, lang, False)
+        variables = jax.jit(lambda r, i, l: model.init(r, i, l, False))(
+            jax.random.PRNGKey(0), img, lang)
         px = jnp.asarray([[10, 20]])
 
         def loss_fn(p):
@@ -151,7 +153,7 @@ class TestR3MStream:
                               img, lang, False)
             return model.compute_loss(out, px, None)[0]
 
-        g = jax.grad(loss_fn)(variables["params"])["aff_stream"]["encoder"]
+        g = jax.jit(jax.grad(loss_fn))(variables["params"])["aff_stream"]["encoder"]
         layer4 = sum(float(jnp.abs(v).sum()) for k, sub in g.items() if k.startswith("layer4")
                      for v in jax.tree_util.tree_leaves(sub))
         earlier = sum(float(jnp.abs(v).sum()) for k, sub in g.items()
@@ -159,6 +161,7 @@ class TestR3MStream:
                       for v in jax.tree_util.tree_leaves(sub))
         return layer4, earlier
 
+    @pytest.mark.slow
     def test_partial_freeze_trains_layer4_only(self):
         layer4, earlier = self._grads(freeze_encoder=False)
         assert layer4 > 0.0
@@ -252,8 +255,9 @@ class TestMaskVariant:
                                    depth_dist="gaussian")
         img = jnp.zeros((2, 64, 64, 3))
         lang = jnp.zeros((2, 32))
-        v = model.init(jax.random.PRNGKey(0), img, lang, False)
-        out = model.apply(v, img, lang, False)
+        v = jax.jit(lambda r, i, l: model.init(r, i, l, False))(
+            jax.random.PRNGKey(0), img, lang)
+        out = jax.jit(lambda v, i, l: model.apply(v, i, l, False))(v, img, lang)
         mask = jnp.zeros((2, 64, 64)).at[:, 10:20, 10:20].set(1.0)
         total, metrics = model.compute_mask_loss(out, mask, jnp.asarray([0.1, 0.2]))
         assert np.isfinite(float(total))
@@ -272,6 +276,36 @@ class TestMaskVariant:
                                lang_embedder=lambda s: np.zeros(8, np.float32))
         s = ds[0]
         assert s["mask"].shape == (64, 64) and s["mask"].sum() > 0
+
+    def test_mask_jitter_coherent(self):
+        """The mask rides through the same one-hot shift as the image: a
+        shifted all-ones patch must land where the shifted image says."""
+        from hulc2_tpu.affordance.dataset import jitter_mask_and_image
+
+        imgs = jnp.zeros((2, 32, 32, 3)).at[:, 8:12, 8:12, :].set(1.0)
+        mask = jnp.zeros((2, 32, 32)).at[:, 8:12, 8:12].set(1.0)
+        px = jnp.asarray([[9, 9], [10, 10]])
+        out_i, out_m, out_px = jitter_mask_and_image(
+            jax.random.PRNGKey(3), imgs, mask, px, pad=4)
+        assert out_i.shape == imgs.shape and out_m.shape == mask.shape
+        # wherever the shifted image is lit, the shifted mask is lit too
+        np.testing.assert_array_equal(np.asarray(out_m > 0.5),
+                                      np.asarray(out_i[..., 0] > 0.5))
+
+    def test_mask_train_cli_runs(self, tmp_path):
+        """aff_detection=rn18_*_mask trains end to end on the synthetic set
+        with the BCE+dice mask criterion (reference mask_data.yaml role)."""
+        from hulc2_tpu.affordance.train_affordance import train
+
+        _, _, metrics = train(
+            ["aff_detection=rn18_bert_mask",
+             "aff_detection.decoder_channels=[16,8,8,8,8]",
+             "aff_detection.dataset.img_resize.static=32",
+             "batch_size=2", "num_workers=1"],
+            max_epochs=1, max_steps=2, synthetic=True,
+            run_dir=tmp_path, n_synthetic=4)
+        assert np.isfinite(metrics["total_loss"])
+        assert "miou" in metrics
 
 
 class TestAuxScripts:
@@ -325,7 +359,8 @@ class TestComputeDtype:
         for dt in (None, "bfloat16"):
             model = AffordanceDetector(decoder_channels=(32, 16, 8, 8, 8),
                                        lang_embed_dim=64, depth_dist=None, compute_dtype=dt)
-            v = model.init(jax.random.PRNGKey(0), img, lang, False)
+            v = jax.jit(lambda r, i, l: model.init(r, i, l, False))(
+            jax.random.PRNGKey(0), img, lang)
             out = model.apply(v, img, lang, False)
             assert out.aff_logits.dtype == jnp.float32
             outs[dt] = np.asarray(out.aff_logits)

@@ -45,6 +45,7 @@ class TestBatchedEvaluator:
         # untrained policy on the symbolic env: chains end by step budget
         assert all(r == 0 for r in results)
 
+    @pytest.mark.slow
     def test_pipelined_cohorts_schedule_all_chains(self):
         """Two cohorts with overlapping dispatches drain the shared queue and
         produce one result per chain (same scheduling semantics as the

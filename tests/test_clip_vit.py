@@ -97,7 +97,7 @@ def test_vision_clip_vit_backbone_frozen():
                        tower_kwargs={"patch_size": 8, "width": 32, "layers": 2,
                                      "heads": 4, "output_dim": 512})
     x = jnp.asarray(np.random.RandomState(0).rand(2, 32, 32, 3), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), x)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
     out = model.apply(variables, x)
     assert out.shape == (2, 8)
 

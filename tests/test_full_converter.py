@@ -123,7 +123,7 @@ def test_full_checkpoint_conversion_matches_init_tree():
     batch["lang"] = {**jax.tree_util.tree_map(lambda x: x, batch["vis"]),
                      "lang": jnp.zeros((1, 384), jnp.float32),
                      "use_for_aux_lang_loss": jnp.zeros((1,), bool)}
-    init_tree = model.init(
+    init_tree = jax.jit(model.init)(
         {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)},
         batch,
     )

@@ -167,7 +167,8 @@ class TestHierarchicalEvaluator:
         model = AffordanceDetector(decoder_channels=(16, 8, 8, 8, 8),
                                    lang_embed_dim=8, depth_dist="gaussian")
         img0 = jnp.zeros((1, 32, 32, 3))
-        variables = model.init(jax.random.PRNGKey(0), img0, jnp.zeros((1, 8)), False)
+        variables = jax.jit(lambda r, i, l: model.init(r, i, l, False))(
+            jax.random.PRNGKey(0), img0, jnp.zeros((1, 8)))
         p = AffordancePredictor(model, variables, input_hw=(32, 32))
         rng = np.random.default_rng(0)
         imgs = [rng.integers(0, 256, (48, 48, 3), np.uint8) for _ in range(3)]

@@ -33,11 +33,21 @@ def make_batch(rng, b=2, s=8, hw_static=40, hw_gripper=40, with_lang=False):
 
 @pytest.fixture(scope="module")
 def model_and_params():
-    cfg = cfg_lib.compose("cfg_low_level", ["model.compute_dtype=float32"])
+    # tiny widths: forward/step semantics are width-independent and the full
+    # default model costs ~30s of XLA-CPU compile per suite run
+    cfg = cfg_lib.compose("cfg_low_level", [
+        "model.compute_dtype=float32",
+        "model.plan_proposal.hidden_size=32",
+        "model.plan_recognition.encoder_hidden_size=32",
+        "model.plan_recognition.fc_hidden_size=32",
+        "model.action_decoder.hidden_size=32",
+        "model.visual_goal.hidden_size=32",
+        "model.language_goal.hidden_size=32",
+    ])
     model = build_policy(cfg["model"])
     rng = np.random.RandomState(0)
     batch = {"vis": make_batch(rng), "lang": make_batch(rng, with_lang=True)}
-    params = model.init(
+    params = jax.jit(model.init)(
         {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)},
         batch,
     )
@@ -64,14 +74,47 @@ class TestCompose:
         cfg = cfg_lib.compose("cfg_gcbc")
         assert cfg["model"]["use_plan"] is False
 
+    def test_top_level_group_selection(self):
+        """``aff_detection=rn50_clip_pixel``-style overrides (no slash) swap
+        the whole group, mirroring Hydra's top-level group syntax."""
+        import hulc2_tpu.configs.affordance  # noqa: F401
+
+        cfg = cfg_lib.compose("train_affordance", ["aff_detection=rn18_sbert_pixel"])
+        assert cfg["aff_detection"]["lang_embed_dim"] == 384
+        assert cfg["aff_detection"]["dataset"]["label_type"] == "pixel"
+
+    def test_per_camera_subgroup_overrides(self):
+        """reference conf/model/perceptual_encoder/{rgb_static,rgb_gripper}/
+        option dirs: per-camera selection composes and builds."""
+        cfg = cfg_lib.compose(
+            "cfg_low_level",
+            ["model/perceptual_encoder/rgb_static=resnet_aff",
+             "model/perceptual_encoder/rgb_gripper=none"],
+        )
+        assert cfg["model"]["perceptual_encoder"]["rgb_static"]["_name_"] == "vision_resnet_aff"
+        assert cfg["model"]["perceptual_encoder"]["rgb_gripper"] is None
+        model = build_policy(cfg["model"])
+        assert type(model.perceptual_encoder.rgb_static).__name__ == "VisionResNetAff"
+        assert model.perceptual_encoder.rgb_gripper is None
+
+    def test_sgd_cosine_presets(self):
+        from hulc2_tpu.train import optim
+
+        cfg = cfg_lib.compose(
+            "cfg_low_level", ["model/optimizer=sgd", "model/lr_scheduler=cosine_warmup"]
+        )
+        assert cfg["model"]["optimizer"]["kind"] == "sgd"
+        tx = optim.make_optimizer(cfg["model"]["optimizer"], cfg["model"]["lr_scheduler"], 100)
+        assert tx is not None
+
 
 class TestHulc2Forward:
     def test_train_forward_multimodal(self, model_and_params):
         cfg, model, params, batch = model_and_params
-        metrics = model.apply(
-            params, batch, 0.01,
+        metrics = jax.jit(lambda p, b: model.apply(
+            p, b, 0.01,
             rngs={"sample": jax.random.PRNGKey(3), "dropout": jax.random.PRNGKey(4)},
-        )
+        ))(params, batch)
         for k in ("total_loss", "kl_loss", "action_loss", "kl_loss_vis", "kl_loss_lang",
                   "action_loss_vis", "action_loss_lang", "lang_clip_loss"):
             assert k in metrics, k
@@ -113,7 +156,7 @@ class TestHulc2Forward:
         rng = np.random.RandomState(7)
         batch = {"vis": make_batch(rng), "lang": make_batch(rng, with_lang=True)}
         rngs = {"sample": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
-        params = model.init({"params": jax.random.PRNGKey(2), **rngs}, batch)
+        params = jax.jit(model.init)({"params": jax.random.PRNGKey(2), **rngs}, batch)
         fused = model.apply(params, batch, 0.0, True, rngs=rngs)
         vis_only = model.apply(params, {"vis": batch["vis"]}, 0.0, True, rngs=rngs)
         lang_only = model.apply(params, {"lang": batch["lang"]}, 0.0, True, rngs=rngs)
@@ -126,11 +169,11 @@ class TestHulc2Forward:
 
     def test_val_forward(self, model_and_params):
         cfg, model, params, batch = model_and_params
-        metrics = model.apply(
-            params, batch,
+        metrics = jax.jit(lambda p, b: model.apply(
+            p, b,
             rngs={"sample": jax.random.PRNGKey(5)},
             method=Hulc2.val_forward,
-        )
+        ))(params, batch)
         for k in ("vis_total_mae_pp", "vis_total_mae_pr", "lang_grip_sr_pp", "vis_kl_loss"):
             assert np.isfinite(float(metrics[k])), k
 
@@ -203,7 +246,7 @@ class TestAuxLosses:
         rng = np.random.RandomState(3)
         batch = {"vis": make_batch(rng), "lang": make_batch(rng, with_lang=True)}
         rngs = {"sample": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
-        params = model.init({"params": jax.random.PRNGKey(2), **rngs}, batch)
+        params = jax.jit(model.init)({"params": jax.random.PRNGKey(2), **rngs}, batch)
         m = model.apply(params, batch, 0.01, True, rngs=rngs)
         for k in ("proprio_loss", "lang_pred_loss", "lang_contrastive_loss"):
             assert k in m and np.isfinite(float(m[k])), k
