@@ -73,9 +73,11 @@ def main(argv=None):
 
     def init_fn():
         key = jax.random.PRNGKey(0)
+        # pre-fused flat batch -> the model's fused calling convention
+        # (transform handles flat dicts; n_vis recovers the [vis; lang] split)
         return model.init(
             {"params": key, "sample": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)},
-            {m: tf(key, raw[m]) for m in raw},
+            tf(key, raw), 0.01, False, b,
         )
 
     state = create_train_state(init_fn, tx)
