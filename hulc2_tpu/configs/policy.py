@@ -362,6 +362,16 @@ register(
         "limit_val_batches": None,
     },
 )
+# datamodule/datasets — modality selection (reference: conf/datamodule/
+# datasets/{vision_lang,vision_only,lang_only}[_shm].yaml). The _shm aliases
+# exist for CLI parity; the shm cache here is the --shm-cache flag / the
+# datamodule's use_shm_cache, orthogonal to modality choice.
+for _n, _mods in (("vision_lang", {"vis": True, "lang": True}),
+                  ("vision_only", {"vis": True, "lang": False}),
+                  ("lang_only", {"vis": False, "lang": True})):
+    register("datamodule/datasets", _n, dict(_mods))
+    register("datamodule/datasets", _n + "_shm", dict(_mods))
+
 register(
     "datamodule",
     "calvin_default",

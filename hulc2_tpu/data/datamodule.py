@@ -31,6 +31,12 @@ class Hulc2DataModule:
         self.process_index = process_index
         self.process_count = process_count
         self.root = Path(dm_cfg["root_data_dir"])
+        # datamodule/datasets group (reference: conf/datamodule/datasets/
+        # {vision_lang,vision_only,lang_only}[_shm].yaml): which modality
+        # datasets to build. Default: both.
+        ds = dm_cfg.get("datasets") or {}
+        self.modalities = tuple(m for m in ("vis", "lang") if ds.get(m, True))
+        assert self.modalities, "datamodule.datasets disabled every modality"
         self.stats: Dict[str, DatasetStatistics] = {}
         self._stores: Dict[str, object] = {}
         self.datasets: Dict[str, WindowDataset] = {}
@@ -54,17 +60,20 @@ class Hulc2DataModule:
                 store = npz
             self._stores[split] = store
 
-            vis_index = ei.build_vision_index(
-                split_dir, split, self.cfg["min_window_size"], self.cfg["max_window_size"],
-                self.cfg.get("data_percent", 1.0),
-            )
-            lang_index = ei.build_lang_index(
-                split_dir, split, self.cfg["min_window_size"], self.cfg["max_window_size"],
-                self.cfg["lang_folder"], self.cfg.get("skip_frames", 1),
-                self.cfg.get("data_percent", 1.0), self.cfg.get("aux_lang_loss_window", 8),
-                self.cfg.get("load_lang_embeddings", True),
-            )
-            for key, index in (("vis", vis_index), ("lang", lang_index)):
+            indices = {}
+            if "vis" in self.modalities:
+                indices["vis"] = ei.build_vision_index(
+                    split_dir, split, self.cfg["min_window_size"], self.cfg["max_window_size"],
+                    self.cfg.get("data_percent", 1.0),
+                )
+            if "lang" in self.modalities:
+                indices["lang"] = ei.build_lang_index(
+                    split_dir, split, self.cfg["min_window_size"], self.cfg["max_window_size"],
+                    self.cfg["lang_folder"], self.cfg.get("skip_frames", 1),
+                    self.cfg.get("data_percent", 1.0), self.cfg.get("aux_lang_loss_window", 8),
+                    self.cfg.get("load_lang_embeddings", True),
+                )
+            for key, index in indices.items():
                 self.datasets[f"{key}_{split}"] = WindowDataset(
                     index, store, obs, pad=self.cfg.get("pad", True), seed=self.seed
                 )
@@ -90,19 +99,17 @@ class Hulc2DataModule:
         # persistent loaders: BatchLoader increments its epoch counter per
         # __iter__, so each epoch gets a fresh shuffle
         if not hasattr(self, "_train_loaders"):
-            self._train_loaders = (
-                self._loader("vis", "training", True),
-                self._loader("lang", "training", True),
+            self._train_loaders = tuple(
+                self._loader(m, "training", True) for m in self.modalities
             )
         return self._train_loaders
 
     def val_loaders(self):
         shuffle = self.cfg.get("shuffle_val", False)
-        return self._loader("vis", "validation", shuffle), self._loader("lang", "validation", shuffle)
+        return tuple(self._loader(m, "validation", shuffle) for m in self.modalities)
 
     def train_iter(self) -> Iterator[Dict]:
-        vis, lang = self.train_loaders()
-        return zip_modalities(vis, lang)
+        return zip_modalities(self.modalities, *self.train_loaders())
 
     def fused_train_iter(self):
         """Pre-fused [vis; lang] batches assembled in ONE host pass
@@ -110,6 +117,8 @@ class Hulc2DataModule:
         host memory traffic than train_iter + fuse_modalities_host."""
         from hulc2_tpu.data.loader import FusedBatchLoader
 
+        if len(self.modalities) == 1:  # nothing to fuse: single-modality dicts
+            return self.train_iter()
         if not hasattr(self, "_fused_loader"):
             self._fused_loader = FusedBatchLoader(
                 self.datasets["vis_training"],
@@ -125,12 +134,10 @@ class Hulc2DataModule:
         return self._fused_loader
 
     def val_iter(self) -> Iterator[Dict]:
-        vis, lang = self.val_loaders()
-        return zip_modalities(vis, lang)
+        return zip_modalities(self.modalities, *self.val_loaders())
 
     def steps_per_epoch(self) -> int:
-        vis, lang = self.train_loaders()
-        return min(len(vis), len(lang))
+        return min(len(l) for l in self.train_loaders())
 
 
 class RandomDataModule:
@@ -140,6 +147,8 @@ class RandomDataModule:
         self.cfg = dm_cfg
         self.seed = seed
         self.n = n_samples
+        ds = dm_cfg.get("datasets") or {}
+        self.modalities = tuple(m for m in ("vis", "lang") if ds.get(m, True))
         self.stats = {"training": DatasetStatistics(), "validation": DatasetStatistics()}
         self.datasets = {}
 
@@ -157,19 +166,18 @@ class RandomDataModule:
         return BatchLoader(self.datasets[f"{key}_{split}"], bs, shuffle, self.seed)
 
     def train_loaders(self):
-        return self._loader("vis", "training", True), self._loader("lang", "training", True)
+        return tuple(self._loader(m, "training", True) for m in self.modalities)
 
     def val_loaders(self):
-        return self._loader("vis", "validation", False), self._loader("lang", "validation", False)
+        return tuple(self._loader(m, "validation", False) for m in self.modalities)
 
     def train_iter(self):
         if not hasattr(self, "_train_loaders"):
             self._train_loaders = self.train_loaders()
-        return zip_modalities(*self._train_loaders)
+        return zip_modalities(self.modalities, *self._train_loaders)
 
     def val_iter(self):
-        return zip_modalities(*self.val_loaders())
+        return zip_modalities(self.modalities, *self.val_loaders())
 
     def steps_per_epoch(self):
-        vis, lang = self.train_loaders()
-        return min(len(vis), len(lang))
+        return min(len(l) for l in self.train_loaders())

@@ -326,12 +326,13 @@ class DevicePrefetcher:
         return item
 
 
-def zip_modalities(vis_loader, lang_loader) -> Iterator[Dict[str, Dict]]:
-    """Zip the two per-modality loaders per step the way Lightning zips the
-    dict of DataLoaders (reference: hulc2_sim_data_module.py:115-126) —
-    the epoch ends with the shorter loader."""
-    for vis, lang in zip(vis_loader, lang_loader):
-        yield {"vis": vis, "lang": lang}
+def zip_modalities(modalities, *loaders) -> Iterator[Dict[str, Dict]]:
+    """Zip per-modality loaders per step the way Lightning zips the dict of
+    DataLoaders (reference: hulc2_sim_data_module.py:115-126) — the epoch
+    ends with the shortest loader. ``modalities`` names each loader (e.g.
+    ("vis", "lang"), or just ("vis",) for vision-only training)."""
+    for batches in zip(*loaders):
+        yield dict(zip(modalities, batches))
 
 
 _FUSE_SKIP_KEYS = ("idx", "seq_len")

@@ -239,6 +239,7 @@ class TestLoaderAndTransforms:
             4, 4, shuffle=False, num_threads=2,
         )))
         ref = fuse_batch_host(next(iter(zip_modalities(
+            ("vis", "lang"),
             BatchLoader(dm.datasets["vis_training"], 4, shuffle=False, num_threads=1),
             BatchLoader(dm.datasets["lang_training"], 4, shuffle=False, num_threads=1),
         ))))

@@ -79,6 +79,26 @@ class TestTrainerSmoke:
         )
         assert int(state2.step) >= 2
 
+    @pytest.mark.parametrize("preset,expect", [
+        ("vision_only", {"vis"}), ("lang_only", {"lang"})])
+    def test_single_modality_training(self, tmp_path, preset, expect):
+        """datamodule/datasets={vision_only,lang_only}: the reference's
+        conf/datamodule/datasets option dir — training runs end to end on a
+        single modality stream (GCBC-on-play-data / lang-only variants)."""
+        from hulc2_tpu.training import train
+
+        state = train(
+            "cfg_low_level", SMALL_OVERRIDES + [f"datamodule/datasets={preset}"],
+            max_epochs=1, max_steps=2, synthetic=True, run_dir=tmp_path / "run",
+        )
+        assert int(state.step) == 2
+        import json
+        lines = [json.loads(l) for l in (tmp_path / "run" / "metrics.jsonl").read_text().splitlines()]
+        val = [l for l in lines if any(k.startswith("val/") for k in l)]
+        assert val, "no validation metrics logged"
+        mods = {k.split("/")[1].split("_")[0] for l in val for k in l if k.startswith("val/")}
+        assert expect <= mods and not ({"vis", "lang"} - expect) & mods
+
     def test_train_loss_decreases_overfit(self, tmp_path):
         """Overfit two fixed synthetic batches — loss must drop (end-to-end
         learning signal through every component)."""
