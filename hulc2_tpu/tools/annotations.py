@@ -82,6 +82,26 @@ def build_annotation_bank() -> Dict[str, List[str]]:
 ANNOTATION_BANK = build_annotation_bank()
 
 
-def sample_annotation(task: str, rng: np.random.Generator) -> str:
+def build_validation_bank() -> Dict[str, str]:
+    """One canonical instruction per task for the validation split.
+
+    Role of the reference's validation sentence bank
+    (conf/annotations/new_playtable_validation.yaml, bound via
+    ``annotations@val_instructions`` in conf/lang_ann.yaml:10): validation
+    windows and the evaluation ``embeddings.npy`` lookup use a single fixed
+    phrasing per task so val metrics are not confounded by paraphrase
+    sampling. Phrasings are this framework's own.
+    """
+    bank = {t: opts[0] for t, opts in ANNOTATION_BANK.items()}
+    assert set(bank) == set(TASK_NAMES)
+    return bank
+
+
+VALIDATION_BANK = build_validation_bank()
+
+
+def sample_annotation(task: str, rng: np.random.Generator, validation: bool = False) -> str:
+    if validation:
+        return VALIDATION_BANK[task]
     options = ANNOTATION_BANK[task]
     return options[int(rng.integers(len(options)))]

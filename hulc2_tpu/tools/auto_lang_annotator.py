@@ -23,7 +23,7 @@ from hulc2_tpu.data.episode_index import load_ep_start_end_ids
 from hulc2_tpu.data.frame_store import NpzFrameStore
 from hulc2_tpu.envs.task_oracle import SceneObsTaskOracle
 from hulc2_tpu.evaluation.tasks import TASK_NAMES
-from hulc2_tpu.tools.annotations import ANNOTATION_BANK, sample_annotation
+from hulc2_tpu.tools.annotations import VALIDATION_BANK, sample_annotation
 
 logger = logging.getLogger(__name__)
 
@@ -69,7 +69,10 @@ def annotate_dataset(
     logger.info("%d annotated windows in %s", len(hits), data_dir)
 
     rng = np.random.default_rng(seed)
-    anns = [sample_annotation(h["task"], rng) for h in hits]
+    # Validation split: one fixed phrasing per task (reference binds the
+    # new_playtable_validation bank for the val split, conf/lang_ann.yaml:10);
+    # training split samples from the full paraphrase bank.
+    anns = [sample_annotation(h["task"], rng, validation=split == "validation") for h in hits]
     tasks = [h["task"] for h in hits]
     if embed_fn is None:  # deterministic hash-based stub embedding (384-d)
         require_stub_embeddings_ok("auto_lang_annotator")
@@ -85,8 +88,9 @@ def annotate_dataset(
     np.save(out / "auto_lang_ann.npy", lang_data)
 
     if with_embeddings_lookup:
-        # canonical sentence per task -> embedding (evaluation lookup format)
-        canonical = {t: ANNOTATION_BANK[t][0] for t in TASK_NAMES}
+        # canonical validation sentence per task -> embedding (evaluation
+        # lookup format; the reference builds this from the validation bank)
+        canonical = {t: VALIDATION_BANK[t] for t in TASK_NAMES}
         emb_lookup = {
             t: {"ann": [s], "emb": np.asarray(embed_fn([s]), np.float32)}
             for t, s in canonical.items()

@@ -108,7 +108,8 @@ class Trainer:
         cfg = self.cfg
         is_main = mesh_lib.process_index() == 0
         save_run_config(self.run_dir, cfg)
-        mlog = MetricsLogger(self.run_dir, use_wandb=cfg.get("logger") == "wandb", is_main=is_main)
+        mlog = MetricsLogger(self.run_dir, use_wandb=cfg.get("logger") == "wandb",
+                             use_tb=cfg.get("logger") == "tb", is_main=is_main)
         logger.info("git commit: %s", get_git_commit_hash(Path(__file__).parent))
         print_system_env_info()
         self._install_signal_handlers()

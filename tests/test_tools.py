@@ -85,6 +85,18 @@ class TestAnnotator:
         emb = np.load(d / "lang_annotations" / "embeddings.npy", allow_pickle=True).item()
         assert set(emb) == set(ANNOTATION_BANK)
 
+    def test_validation_split_uses_canonical_bank(self, tmp_path):
+        """Validation windows get the single fixed phrasing per task
+        (reference: annotations@val_instructions binding, conf/lang_ann.yaml:10)."""
+        from hulc2_tpu.tools.annotations import VALIDATION_BANK
+
+        assert set(VALIDATION_BANK) == set(ANNOTATION_BANK)
+        d = tmp_path / "validation"
+        write_play_dataset(d, [(0, 127)], with_scene_task="open_drawer")
+        lang = annotate_dataset(d, window=64, stride=8)
+        assert len(lang["language"]["ann"]) > 0
+        assert all(a == VALIDATION_BANK["open_drawer"] for a in lang["language"]["ann"])
+
     def test_hash_embed_deterministic(self):
         a = hash_embed(["open the drawer", "close the drawer"])
         b = hash_embed(["open the drawer", "close the drawer"])
