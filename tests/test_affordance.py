@@ -292,6 +292,7 @@ class TestMaskVariant:
         np.testing.assert_array_equal(np.asarray(out_m > 0.5),
                                       np.asarray(out_i[..., 0] > 0.5))
 
+    @pytest.mark.slow
     def test_mask_train_cli_runs(self, tmp_path):
         """aff_detection=rn18_*_mask trains end to end on the synthetic set
         with the BCE+dice mask criterion (reference mask_data.yaml role)."""

@@ -354,6 +354,7 @@ class TestLangNetConverters:
         np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_offline_clip_text_encoder_interface():
     """Self-contained host-side encode_text (no HF assets): in-repo tokenizer
     + flax tower, matching the language-encoder zoo interface."""

@@ -88,6 +88,7 @@ def test_clip_vit_matches_torch():
     np.testing.assert_allclose(np.asarray(emb), emb_ref.numpy(), atol=2e-4)
 
 
+@pytest.mark.slow
 def test_vision_clip_vit_backbone_frozen():
     """VisionClip with the ViT tower: correct output width and zero gradient
     into the frozen backbone (reference vision_clip.py:19-21)."""

@@ -85,6 +85,7 @@ class TestRealWorldPath:
         model = build_policy(cfg["model"])
         assert type(model.perceptual_encoder.rgb_static).__name__ == "VisionR3M"
 
+    @pytest.mark.slow
     def test_all_transform_presets_run(self):
         """Every registered transform preset (incl. the clip / no-rand-shift /
         square variants of conf/datamodule/transforms/*) produces finite

@@ -91,6 +91,7 @@ def tree_paths_and_shapes(tree):
     return out
 
 
+@pytest.mark.slow
 def test_full_checkpoint_conversion_matches_init_tree():
     overrides = [
         "model.compute_dtype=float32",

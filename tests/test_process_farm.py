@@ -64,6 +64,7 @@ class TestProcessEnvFarm:
         with pytest.raises(RuntimeError, match="env worker error"):
             farm3.envs[0].call("no_such_method")
 
+    @pytest.mark.slow
     def test_steps_run_in_parallel(self):
         """4 envs with a 50 ms sim step must step together, not serially."""
         with ProcessEnvFarm(
@@ -77,6 +78,7 @@ class TestProcessEnvFarm:
             dt = time.perf_counter() - t0
         assert dt < 0.15, f"parallel 4x50ms step took {dt:.3f}s (serial would be 0.2s)"
 
+    @pytest.mark.slow
     def test_pipelined_evaluator_over_process_farms(self):
         """Full stack: cohorts of process-farm envs through the evaluator."""
         cfg = cfg_lib.compose("cfg_low_level", TINY)
