@@ -97,18 +97,27 @@ def visualize_affordance(data_dir, train_dir: str = None, out_dir: str = None,
 
     out_dir = Path(out_dir or "aff_viz")
     out_dir.mkdir(parents=True, exist_ok=True)
+    errors = []  # per-sample pixel/depth errors (reference get_aff_preds.py errors.json role)
     for i in range(min(n, len(ds))):
         s = ds[i]
         img = s["frame"].copy()
         # ground-truth label (green-ish marker via draw)
         px_gt = s["px"]
-        img = draw_marker(img, (int(px_gt[1] * img.shape[1] / 224), int(px_gt[0] * img.shape[0] / 224)))
+        gt_xy = (int(px_gt[1] * img.shape[1] / 224), int(px_gt[0] * img.shape[0] / 224))
+        img = draw_marker(img, gt_xy)
         caption = "gt label"
         if predictor is not None:
             pred = predictor.predict(s["frame"], s["lang"])
             img = heatmap_overlay(img, pred["softmax"], alpha=0.5)
             img = draw_marker(img, pred["pixel"])
             caption = f"pred depth {pred.get('depth', 0):.3f}"
+            err = {
+                "sample": i,
+                "px_error": float(np.hypot(pred["pixel"][0] - gt_xy[0], pred["pixel"][1] - gt_xy[1])),
+            }
+            if "depth" in pred and "depth" in s:
+                err["depth_error"] = abs(float(pred["depth"]) - float(s["depth"]))
+            errors.append(err)
         img = add_img_text(img, caption)
         if show:
             import cv2
@@ -119,6 +128,19 @@ def visualize_affordance(data_dir, train_dir: str = None, out_dir: str = None,
             import imageio
 
             imageio.imwrite(out_dir / f"sample_{i:03d}.png", img)
+    if errors:
+        import json
+
+        summary = {
+            "mean_px_error": float(np.mean([e["px_error"] for e in errors])),
+            "median_px_error": float(np.median([e["px_error"] for e in errors])),
+            "samples": errors,
+        }
+        d_errs = [e["depth_error"] for e in errors if "depth_error" in e]
+        if d_errs:
+            summary["mean_depth_error"] = float(np.mean(d_errs))
+        (out_dir / "errors.json").write_text(json.dumps(summary, indent=2))
+        logger.info("mean px error %.1f over %d samples", summary["mean_px_error"], len(errors))
     logger.info("affordance previews in %s", out_dir)
 
 
