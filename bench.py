@@ -49,7 +49,7 @@ def main():
 
     import hulc2_tpu.configs  # noqa: F401
     from hulc2_tpu.core import config as cfg_lib
-    from hulc2_tpu.data.device_transforms import make_batch_transform
+    from hulc2_tpu.data.device_transforms import fused_s2d_ok, make_batch_transform
     from hulc2_tpu.data.statistics import DatasetStatistics
     from hulc2_tpu.models.build import build_policy
     from hulc2_tpu.train import optim
@@ -91,7 +91,8 @@ def main():
 
     stats = DatasetStatistics()  # identity norm (synthetic data)
     tf = make_batch_transform(
-        dm_cfg["observation_space"], dm_cfg["proprioception_dims"], stats, "rand_shift", True
+        dm_cfg["observation_space"], dm_cfg["proprioception_dims"], stats, "rand_shift", True,
+        fused_s2d=fused_s2d_ok(cfg),
     )
     transforms = {"vis": tf, "lang": tf}
 
@@ -191,6 +192,13 @@ def _loader_fed_throughput(cfg, train_step, state, key, kl_beta, b, iters):
         next(host_it)
     host_ms = (time.perf_counter() - t0) / 3 * 1000
 
+    # The in-process number above is contaminated on this 1-core dev harness:
+    # the axon tunnel client's background threads alone slow the loader ~8x
+    # (measured: 161 ms/batch CPU-only process vs 1232 ms with a trivial TPU
+    # client active). Measure the loader's true rate in a clean CPU-only
+    # subprocess as well — that is the per-core extrapolation anchor.
+    host_ms_clean = _clean_host_assembly_ms(root, num_threads)
+
     import numpy as _np
 
     probe = _np.random.randint(0, 255, (32, 1024, 1024), _np.uint8)
@@ -224,14 +232,55 @@ def _loader_fed_throughput(cfg, train_step, state, key, kl_beta, b, iters):
     extras = {
         "batch_mib": round(batch_mib, 1),
         "host_assembly_ms_per_batch": round(host_ms, 1),
+        "host_assembly_ms_clean_process": round(host_ms_clean, 1) if host_ms_clean else None,
         "h2d_mib_per_s": round(h2d_mib_s, 1),
     }
     return 2 * b * iters / dt, (
         f"npz->shm->single-pass fused assembly ({num_threads} threads, "
         f"{os.cpu_count()} host cores)->prefetch: {dt / iters * 1000:.0f} ms/step "
-        f"[host assembly {host_ms:.0f} ms; h2d transfer "
-        f"{batch_mib / max(h2d_mib_s, 1e-9) * 1000:.0f} ms]"
+        f"[host assembly {host_ms:.0f} ms in-process"
+        + (f" / {host_ms_clean:.0f} ms clean CPU-only process" if host_ms_clean else "")
+        + f"; h2d transfer {batch_mib / max(h2d_mib_s, 1e-9) * 1000:.0f} ms]"
     ), extras
+
+
+def _clean_host_assembly_ms(root, num_threads, batches: int = 3):
+    """Loader assembly rate in a fresh CPU-only subprocess (no TPU client
+    thread contention). Returns ms/batch or None on failure."""
+    import subprocess
+    import sys
+
+    probe = (
+        "import jax, time\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "import hulc2_tpu.configs\n"
+        "from hulc2_tpu.core import config as cfg_lib\n"
+        "from hulc2_tpu.data.datamodule import Hulc2DataModule\n"
+        "cfg = cfg_lib.compose('cfg_low_level')\n"
+        "dm_cfg = dict(cfg['datamodule'])\n"
+        f"dm_cfg['root_data_dir'] = {root!r}\n"
+        f"dm_cfg['num_workers'] = {num_threads}\n"
+        "dm = Hulc2DataModule(dm_cfg, use_shm_cache=True)\n"
+        "dm.setup()\n"
+        "def epochs():\n"
+        "    while True:\n"
+        "        yield from dm.fused_train_iter()\n"
+        "it = iter(epochs()); next(it)\n"
+        "t0 = time.perf_counter()\n"
+        f"for _ in range({batches}): next(it)\n"
+        f"print('CLEAN_MS', (time.perf_counter() - t0) / {batches} * 1000)\n"
+    )
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", probe], capture_output=True, text=True, timeout=600,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        for line in out.stdout.splitlines():
+            if line.startswith("CLEAN_MS"):
+                return float(line.split()[1])
+    except Exception:
+        pass
+    return None
 
 
 if __name__ == "__main__":
