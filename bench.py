@@ -49,7 +49,7 @@ def main():
 
     import hulc2_tpu.configs  # noqa: F401
     from hulc2_tpu.core import config as cfg_lib
-    from hulc2_tpu.data.device_transforms import fused_s2d_ok, make_batch_transform
+    from hulc2_tpu.data.device_transforms import make_batch_transform
     from hulc2_tpu.data.statistics import DatasetStatistics
     from hulc2_tpu.models.build import build_policy
     from hulc2_tpu.train import optim
@@ -91,8 +91,7 @@ def main():
 
     stats = DatasetStatistics()  # identity norm (synthetic data)
     tf = make_batch_transform(
-        dm_cfg["observation_space"], dm_cfg["proprioception_dims"], stats, "rand_shift", True,
-        fused_s2d=fused_s2d_ok(cfg),
+        dm_cfg["observation_space"], dm_cfg["proprioception_dims"], stats, "rand_shift", True
     )
     transforms = {"vis": tf, "lang": tf}
 

@@ -407,10 +407,6 @@ register(
             "normalize_robot_orientation": True,
         },
         "transforms": "rand_shift",
-        # fused shift+normalize+space-to-depth transform output (bit-equal;
-        # see ops/preprocess.shift_normalize_s2d). Applied only when the
-        # configured encoders consume the packed stem layout (fused_s2d_ok).
-        "fused_s2d": False,
     },
 )
 

@@ -249,31 +249,9 @@ TRANSFORM_PRESETS = {
 }
 
 
-def _apply_ops(rng: jax.Array, imgs: jnp.ndarray, ops: list, dtype,
-               fused_s2d: bool = False) -> jnp.ndarray:
-    """imgs: (N, H, W, C) uint8/float -> transformed float images.
-
-    ``fused_s2d``: peephole-fuse a trailing ``random_shift + scale_normalize``
-    pair into ops/preprocess.shift_normalize_s2d, emitting the s2d-packed
-    stem layout directly (bit-equal; the conv stem detects packed inputs)."""
+def _apply_ops(rng: jax.Array, imgs: jnp.ndarray, ops: list, dtype) -> jnp.ndarray:
+    """imgs: (N, H, W, C) uint8/float -> transformed float images."""
     x = imgs
-    if (
-        fused_s2d
-        and len(ops) >= 2
-        and ops[-2]["op"] == "random_shift"
-        and ops[-1]["op"] == "scale_normalize"
-        and x.shape[-1] == 3
-    ):
-        # run the head through the normal interpreter with UNCHANGED keys
-        # (fold_in by original op index), then the fused tail with the shift
-        # op's key — same offsets as the unfused path, bit-equal output
-        head = _apply_ops(rng, x, ops[:-2], x.dtype)
-        if head.shape[1] % 4 == 0 and head.shape[2] % 4 == 0:
-            return preprocess.shift_normalize_s2d(
-                jax.random.fold_in(rng, len(ops) - 2), head, ops[-2]["pad"],
-                ops[-1]["mean"], ops[-1]["std"], dtype,
-            ).astype(dtype)
-        # non-4-divisible after the head (no CALVIN preset hits this): unfused
     for i, op in enumerate(ops):
         key = jax.random.fold_in(rng, i)
         kind = op["op"]
@@ -337,30 +315,6 @@ def process_proprio(
     return jnp.concatenate(slices, axis=-1)
 
 
-#: encoders whose conv stem consumes the s2d-packed layout (models/vision.py
-#: ``_stem_conv`` — VisionNetwork and the nature-CNN gripper trunk)
-_S2D_STEM_ENCODERS = {"vision_network", "vision_network_gripper"}
-
-
-def fused_s2d_ok(cfg: dict) -> bool:
-    """True when ``datamodule.fused_s2d`` is enabled AND every configured rgb
-    encoder consumes the packed stem layout. Gripper trunks other than
-    nature_cnn (cnn_3/4_layers) have 3x3 stems — no packing."""
-    if not cfg.get("datamodule", {}).get("fused_s2d", False):
-        return False
-    pe = cfg.get("model", {}).get("perceptual_encoder", {})
-    for key in ("rgb_static", "rgb_gripper"):
-        sub = pe.get(key)
-        if not sub:
-            continue
-        if sub.get("_name_") not in _S2D_STEM_ENCODERS:
-            return False
-        if sub.get("_name_") == "vision_network_gripper" and \
-                sub.get("conv_encoder", "nature_cnn") != "nature_cnn":
-            return False
-    return True
-
-
 def make_batch_transform(
     observation_space: dict,
     proprio_cfg: dict,
@@ -368,13 +322,8 @@ def make_batch_transform(
     transforms_name: str = "rand_shift",
     train: bool = True,
     dtype=jnp.float32,
-    fused_s2d: bool = False,
 ) -> Callable:
-    """Build fn(rng, raw_modality_batch) -> model modality batch (traceable).
-
-    ``fused_s2d``: emit rgb cameras in the s2d-packed stem layout via the
-    fused shift+normalize+pack op (bit-equal; only valid when the consuming
-    encoders use the packed conv stem — VisionNetwork / nature-CNN trunks)."""
+    """Build fn(rng, raw_modality_batch) -> model modality batch (traceable)."""
     pipelines = TRANSFORM_PRESETS[transforms_name]["train" if train else "val"]
     rgb_keys = list(observation_space["rgb_obs"])
     depth_keys = list(observation_space["depth_obs"])
@@ -386,7 +335,7 @@ def make_batch_transform(
             b, s = imgs.shape[:2]
             flat = imgs.reshape(b * s, *imgs.shape[2:])
             key = prng.stream(rng, cam)
-            res = _apply_ops(key, flat, pipelines.get(cam, []), dtype, fused_s2d=fused_s2d)
+            res = _apply_ops(key, flat, pipelines.get(cam, []), dtype)
             out["rgb_obs"][cam] = res.reshape(b, s, *res.shape[1:])
         for cam in depth_keys:
             dm = raw[cam]

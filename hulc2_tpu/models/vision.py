@@ -29,13 +29,7 @@ from hulc2_tpu.ops.spatial import spatial_softmax
 def _stem_conv(x, features: int, dtype, name: str):
     """8x8-stride-4 stem conv, reparametrized as space-to-depth + 2x2 conv
     when the input is 4-divisible (exactly equivalent; ~10x better MXU
-    utilization on 3-channel images — see ops/space_to_depth.py).
-
-    Inputs with 48 channels are treated as ALREADY s2d-packed (4*4*3, the
-    fused transform path ops/preprocess.shift_normalize_s2d) — the 2x2 conv
-    applies directly, with the same parameters as the self-packing branch."""
-    if x.shape[-1] == 48:
-        return Conv(features, (2, 2), (1, 1), dtype=dtype, name=name)(x)
+    utilization on 3-channel images — see ops/space_to_depth.py)."""
     if x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0:
         return Conv(features, (2, 2), (1, 1), dtype=dtype, name=name)(space_to_depth(x, 4))
     return Conv(features, (8, 8), (4, 4), dtype=dtype, name=name)(x)

@@ -103,47 +103,6 @@ def shift_from_offsets(
     return jnp.transpose(x, (0, 2, 3, 1))
 
 
-def shift_normalize_s2d(
-    rng: jax.Array, imgs: jnp.ndarray, pad: int, mean, std,
-    dtype=jnp.float32, block: int = 4,
-) -> jnp.ndarray:
-    """Fused RandomShift + scale/normalize + space-to-depth packing.
-
-    Bit-equal to ``space_to_depth(scale_and_normalize(random_shift(...)))``
-    but skips the intermediate NHWC materialization: the selection einsums
-    already produce channels-major (N, C, H, W), so the normalize is applied
-    there (elementwise — commutes with layout exactly) and ONE 6-D transpose
-    emits the (N, H/b, W/b, b*b*C) packed stem layout (channel order
-    (dy, dx, c), matching ops/space_to_depth.pack_conv_kernel). The separate
-    ops move the full static-cam tensor through three relayout copies
-    (~5 ms/step in the r2 trace, docs/design.md); this path pays one.
-
-    Output feeds a pre-packed conv stem (models/vision.py ``_stem_conv``
-    detects ``C == block*block*3``).
-    """
-    n, h, w, c = imgs.shape
-    assert h % block == 0 and w % block == 0, (h, w, block)
-    offsets = jax.random.randint(rng, (n, 2), 0, 2 * pad + 1)
-    rows = jnp.clip(offsets[:, 0:1] + jnp.arange(h)[None, :] - pad, 0, h - 1)
-    cols = jnp.clip(offsets[:, 1:2] + jnp.arange(w)[None, :] - pad, 0, w - 1)
-    row_sel = jax.nn.one_hot(rows, h, dtype=jnp.bfloat16)
-    col_sel = jax.nn.one_hot(cols, w, dtype=jnp.bfloat16)
-    x = jnp.transpose(imgs, (0, 3, 1, 2)).astype(jnp.bfloat16)  # (N, C, H, W)
-    x = jnp.einsum("nhp,ncpw->nchw", row_sel, x, preferred_element_type=jnp.bfloat16)
-    x = jnp.einsum("nwq,nchq->nchw", col_sel, x, preferred_element_type=jnp.float32)
-    mean = jnp.asarray(mean, dtype)
-    std = jnp.asarray(std, dtype)
-    if mean.ndim == 0 or mean.shape[-1] == 1:
-        mean = jnp.broadcast_to(mean.reshape(-1)[:1], (c,))
-        std = jnp.broadcast_to(std.reshape(-1)[:1], (c,))
-    scale = (1.0 / (255.0 * std))[None, :, None, None]
-    shift = (-mean / std)[None, :, None, None]
-    x = x.astype(dtype) * scale + shift
-    x = x.reshape(n, c, h // block, block, w // block, block)
-    x = jnp.transpose(x, (0, 2, 4, 3, 5, 1))  # (N, H/b, W/b, b, b, C)
-    return x.reshape(n, h // block, w // block, block * block * c)
-
-
 def add_gaussian_noise(rng: jax.Array, x: jnp.ndarray, mean, std) -> jnp.ndarray:
     """x + N(0,1)*std + mean (reference: transforms.py:52-59)."""
     return x + jax.random.normal(rng, x.shape, x.dtype) * jnp.asarray(std, x.dtype) + jnp.asarray(mean, x.dtype)

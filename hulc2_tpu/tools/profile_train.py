@@ -32,7 +32,7 @@ def main(argv=None):
 
     import hulc2_tpu.configs  # noqa: F401
     from hulc2_tpu.core import config as cfg_lib
-    from hulc2_tpu.data.device_transforms import fused_s2d_ok, make_batch_transform
+    from hulc2_tpu.data.device_transforms import make_batch_transform
     from hulc2_tpu.data.statistics import DatasetStatistics
     from hulc2_tpu.models.build import build_policy
     from hulc2_tpu.train import optim
@@ -68,8 +68,7 @@ def main(argv=None):
         jnp.asarray, fuse_batch_host({"vis": raw_mod(False), "lang": raw_mod(True)})
     )
     tf = make_batch_transform(dm_cfg["observation_space"], dm_cfg["proprioception_dims"],
-                              DatasetStatistics(), dm_cfg.get("transforms", "rand_shift"), True,
-                              fused_s2d=fused_s2d_ok(cfg))
+                              DatasetStatistics(), dm_cfg.get("transforms", "rand_shift"), True)
     tx = optim.make_optimizer(cfg["model"]["optimizer"], None, 100_000)
 
     def init_fn():

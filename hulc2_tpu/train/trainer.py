@@ -55,8 +55,7 @@ class Trainer:
         stats = self.dm.stats["training" if train else "validation"]
         name = dm_cfg.get("transforms", "rand_shift")
         tf = dt.make_batch_transform(
-            dm_cfg["observation_space"], dm_cfg["proprioception_dims"], stats, name, train,
-            fused_s2d=dt.fused_s2d_ok(self.cfg),
+            dm_cfg["observation_space"], dm_cfg["proprioception_dims"], stats, name, train
         )
         return {"vis": tf, "lang": tf}
 

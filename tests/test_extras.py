@@ -116,49 +116,6 @@ class TestRealWorldPath:
                 for cam in ("rgb_static", "rgb_gripper"):
                     assert np.isfinite(np.asarray(out["rgb_obs"][cam])).all(), (name, train)
 
-    def test_fused_s2d_transform_bit_equal(self):
-        """fused_s2d=True emits exactly space_to_depth of the unfused rgb
-        output (same PRNG keys per op index), leaving other keys untouched."""
-        import jax
-        import jax.numpy as jnp
-
-        from hulc2_tpu.data.device_transforms import fused_s2d_ok, make_batch_transform
-        from hulc2_tpu.data.statistics import DatasetStatistics
-        from hulc2_tpu.ops.space_to_depth import space_to_depth
-
-        obs = {"rgb_obs": ["rgb_static", "rgb_gripper"], "depth_obs": [],
-               "state_obs": ["robot_obs"], "actions": ["rel_actions"],
-               "language": ["language"]}
-        proprio = {"n_state_obs": 8, "keep_indices": [[0, 7], [14, 15]],
-                   "robot_orientation_idx": [3, 6], "normalize": True,
-                   "normalize_robot_orientation": True}
-        rng = np.random.default_rng(1)
-        raw = {
-            "rgb_static": jnp.asarray(rng.integers(0, 256, (1, 2, 200, 200, 3)), jnp.uint8),
-            "rgb_gripper": jnp.asarray(rng.integers(0, 256, (1, 2, 84, 84, 3)), jnp.uint8),
-            "robot_obs_raw": jnp.asarray(rng.standard_normal((1, 2, 15)), jnp.float32),
-            "actions": jnp.zeros((1, 2, 7), jnp.float32),
-        }
-        stats = DatasetStatistics()
-        key = jax.random.PRNGKey(3)
-        plain = make_batch_transform(obs, proprio, stats, "rand_shift", True)(key, raw)
-        fused = make_batch_transform(obs, proprio, stats, "rand_shift", True,
-                                     fused_s2d=True)(key, raw)
-        for cam in ("rgb_static", "rgb_gripper"):
-            p = np.asarray(plain["rgb_obs"][cam])
-            f = np.asarray(fused["rgb_obs"][cam])
-            b, s = p.shape[:2]
-            want = np.asarray(space_to_depth(jnp.asarray(p.reshape(b * s, *p.shape[2:])), 4))
-            np.testing.assert_array_equal(f.reshape(want.shape), want)
-        np.testing.assert_array_equal(np.asarray(fused["robot_obs"]), np.asarray(plain["robot_obs"]))
-        # config gate: default off; on only for packed-stem encoders
-        cfg = cfg_lib.compose("cfg_low_level")
-        assert not fused_s2d_ok(cfg)
-        cfg["datamodule"]["fused_s2d"] = True
-        assert fused_s2d_ok(cfg)
-        cfg["model"]["perceptual_encoder"]["rgb_static"]["_name_"] = "clip"
-        assert not fused_s2d_ok(cfg)
-
     def test_real_world_transform_preset(self):
         import jax
         import jax.numpy as jnp

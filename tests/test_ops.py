@@ -253,38 +253,6 @@ class TestPreprocess:
         # on 0..255-valued pixels; our dynamic_slice crop is the exact version.
         np.testing.assert_allclose(shifted, expected, atol=5e-3)
 
-    def test_shift_normalize_s2d_bit_equal(self):
-        """The fused shift+normalize+pack op equals the composed ops exactly
-        (same PRNG offsets, elementwise normalize commutes with layout)."""
-        from hulc2_tpu.ops.space_to_depth import space_to_depth
-
-        rng = np.random.RandomState(12)
-        imgs = jnp.asarray(rng.randint(0, 256, size=(3, 32, 32, 3)), jnp.uint8)
-        key = jax.random.PRNGKey(5)
-        composed = space_to_depth(
-            preprocess.scale_and_normalize(
-                preprocess.random_shift(key, imgs, pad=4), [0.5], [0.5]
-            ),
-            4,
-        )
-        fused = preprocess.shift_normalize_s2d(key, imgs, 4, [0.5], [0.5])
-        assert fused.shape == (3, 8, 8, 48)
-        np.testing.assert_array_equal(np.asarray(fused), np.asarray(composed))
-
-    def test_stem_conv_packed_equals_self_packed(self):
-        """VisionNetwork output on a pre-packed input equals the NHWC input
-        path (same parameters; the stem packs identically)."""
-        from hulc2_tpu.models.vision import VisionNetwork
-        from hulc2_tpu.ops.space_to_depth import space_to_depth
-
-        rng = np.random.RandomState(13)
-        x = jnp.asarray(rng.rand(2, 40, 40, 3), jnp.float32)
-        model = VisionNetwork(visual_features=16)
-        params = model.init(jax.random.PRNGKey(0), x)
-        y_plain = model.apply(params, x)
-        y_packed = model.apply(params, space_to_depth(x, 4))
-        np.testing.assert_array_equal(np.asarray(y_packed), np.asarray(y_plain))
-
     def test_random_crop_in_bounds(self):
         x = jnp.asarray(np.random.RandomState(9).rand(4, 70, 70, 3), dtype=jnp.float32)
         y = preprocess.random_crop(jax.random.PRNGKey(1), x, 64, 64)
