@@ -94,6 +94,11 @@ def main(argv=None):
                         "(manager_aff_lmp.py:139-155)")
     p.add_argument("--aff-checkpoint", type=int, default=None,
                    help="specific affordance step (default: newest)")
+    p.add_argument("--single-step", action="store_true",
+                   help="evaluate only the FIRST subtask of each chain — the "
+                        "per-task success-rate protocol of the reference's "
+                        "evaluate_policy_singlestep.py (results.json then "
+                        "carries per-task SR; chain_sr/1 is the overall SR)")
     p.add_argument("--heuristic-oracle", action="store_true",
                    help="score with the scene-obs heuristic oracle even when "
                         "calvin_env's native oracle is available")
@@ -120,12 +125,16 @@ def main(argv=None):
             argv_rest += ["--aff-train-dir", args.aff_train_dir]
         if args.n_envs > 1:
             argv_rest += ["--n-envs", str(args.n_envs), "--cohorts", str(args.cohorts)]
+        if args.single_step:
+            argv_rest += ["--single-step"]
         return run_all(argv_rest)
 
     t0 = time.time()
     model, params, cfg = load_policy(args.train_dir, args.checkpoint)
     log_dir = Path(args.log_dir or (Path(args.train_dir) / "evaluation"))
     sequences = get_sequences(args.num_sequences)
+    if args.single_step:
+        sequences = harness.singlestep_sequences(sequences)
     # native calvin_env oracle for real-simulator scoring, heuristic otherwise
     oracle = make_oracle(real_env=not args.fake_env,
                          force_heuristic=args.heuristic_oracle)

@@ -34,6 +34,15 @@ def count_success(results: Sequence[int]) -> List[float]:
     return [sum(r >= i for r in results) / n for i in range(1, 6)]
 
 
+def singlestep_sequences(sequences):
+    """Truncate each chain to its first subtask — the reference's single-step
+    per-task SR protocol (evaluation/evaluate_policy_singlestep.py:16-34):
+    one subtask per valid initial condition, scored by the task oracle.
+    ``count_success`` then yields the overall SR at index 0 and
+    ``per_task_breakdown`` the per-task table."""
+    return [(state, chain[:1]) for state, chain in sequences]
+
+
 def per_task_breakdown(results: Sequence[int], sequences) -> Dict[str, Dict[str, int]]:
     """Per-task success/total counts over attempted subtasks
     (reference: evaluation.py:96-112)."""

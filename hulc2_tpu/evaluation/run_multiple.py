@@ -43,6 +43,7 @@ def main(argv=None):
                    help="forwarded: hierarchical mode per checkpoint")
     p.add_argument("--n-envs", type=int, default=None)
     p.add_argument("--cohorts", type=int, default=None)
+    p.add_argument("--single-step", action="store_true")
     args = p.parse_args(argv)
 
     steps = args.checkpoints or list_checkpoints(args.train_dir)
@@ -66,6 +67,8 @@ def main(argv=None):
             cmd += ["--n-envs", str(args.n_envs)]
         if args.cohorts:
             cmd += ["--cohorts", str(args.cohorts)]
+        if args.single_step:
+            cmd += ["--single-step"]
         return cmd
 
     if args.workers <= 1:

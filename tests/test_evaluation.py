@@ -144,3 +144,32 @@ class TestOracleAndFakeEnv:
         assert "best" in merged and merged["best"]["epoch"] == "7"
         data = json.loads((tmp_path / "results.json").read_text())
         assert data["7"]["chain_sr"]["1"] == pytest.approx(srs[0])
+
+    def test_single_step_protocol(self, tmp_path):
+        """singlestep_sequences truncates chains to one subtask (reference
+        evaluate_policy_singlestep.py role): overall SR == per-task totals ==
+        num_sequences, and SR@2..5 are structurally zero."""
+        from hulc2_tpu.envs.fake_env import FakeCalvinEnv
+        from hulc2_tpu.envs.task_oracle import SceneObsTaskOracle
+        from hulc2_tpu.evaluation import harness
+        from hulc2_tpu.evaluation.sequences import get_sequences
+
+        seqs = harness.singlestep_sequences(get_sequences(50))
+        assert all(len(chain) == 1 for _, chain in seqs)
+        oracle = SceneObsTaskOracle()
+        rng = np.random.default_rng(1)
+
+        def rollout_fn(env, subtask):
+            if rng.random() < 0.6:
+                start = env.get_info()
+                env.perform(subtask)
+                return subtask in oracle.get_task_info_for_set(start, env.get_info(), [subtask])
+            return False
+
+        env = FakeCalvinEnv(static_hw=16, gripper_hw=16)
+        results = harness.evaluate_policy(rollout_fn, env, sequences=seqs, progress=False)
+        srs = harness.count_success(results)
+        assert 0.3 < srs[0] <= 1.0 and srs[1] == 0.0
+        table = harness.per_task_breakdown(results, seqs)
+        assert sum(v["total"] for v in table.values()) == 50
+        assert sum(v["success"] for v in table.values()) == sum(results)
