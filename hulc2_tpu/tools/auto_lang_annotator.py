@@ -99,6 +99,63 @@ def annotate_dataset(
     return lang_data
 
 
+def relabel_dataset(
+    data_dir,
+    src_folder: str = "lang_annotations",
+    dst_folder: str = "lang_annotations_relabeled",
+    embed_fn: Optional[Callable[[List[str]], np.ndarray]] = None,
+    resample: bool = False,
+    seed: int = 0,
+) -> dict:
+    """Re-embed (and optionally re-sample) an existing ``auto_lang_ann.npy``
+    with a different language model — the reference's
+    relabel_with_new_lang_model.py role (hulc2/utils/relabel_with_new_lang_model.py:12-21):
+    swap the NLP backbone of an annotated dataset without replaying it.
+    Writes ``<data_dir>/<dst_folder>/auto_lang_ann.npy`` + ``embeddings.npy``."""
+    data_dir = Path(data_dir)
+    split = data_dir.name if data_dir.name in ("training", "validation") else "training"
+    src = np.load(data_dir / src_folder / "auto_lang_ann.npy", allow_pickle=True).item()
+    tasks = list(src["language"]["task"])
+    if resample:
+        rng = np.random.default_rng(seed)
+        anns = [sample_annotation(t, rng, validation=split == "validation") for t in tasks]
+    else:
+        anns = list(src["language"]["ann"])
+    if embed_fn is None:
+        require_stub_embeddings_ok("relabel_dataset")
+        embed_fn = hash_embed
+    embs = np.asarray(embed_fn(anns), np.float32)[:, None, :]
+    lang_data = {
+        "language": {"ann": anns, "task": tasks, "emb": embs},
+        "info": dict(src["info"]),
+    }
+    out = data_dir / dst_folder
+    out.mkdir(parents=True, exist_ok=True)
+    np.save(out / "auto_lang_ann.npy", lang_data)
+    emb_lookup = {
+        t: {"ann": [s], "emb": np.asarray(embed_fn([s]), np.float32)}
+        for t, s in ((t, VALIDATION_BANK[t]) for t in sorted(set(tasks)))
+    }
+    np.save(out / "embeddings.npy", emb_lookup)
+    return lang_data
+
+
+def dataset_task_statistics(data_dir, window: int = 64, stride: int = 16) -> Dict[str, int]:
+    """Per-task occurrence counts over a play dataset via the scene-obs
+    oracle — the reference's dataset_task_statistics.py role
+    (hulc2/utils/dataset_task_statistics.py:12-25, which replays each episode
+    through the simulator; here the stored scene_obs vectors suffice)."""
+    data_dir = Path(data_dir)
+    split = data_dir.name if data_dir.name in ("training", "validation") else "training"
+    ep_ids = load_ep_start_end_ids(data_dir, split)
+    store = NpzFrameStore(data_dir, ["scene_obs"])
+    hits = detect_task_windows(store, ep_ids, window, stride)
+    counts: Dict[str, int] = {}
+    for h in hits:
+        counts[h["task"]] = counts.get(h["task"], 0) + 1
+    return dict(sorted(counts.items(), key=lambda kv: -kv[1]))
+
+
 def require_stub_embeddings_ok(context: str) -> None:
     """Refuse silent hash-embedding fallbacks (VERDICT r1: stub embeddings
     produce metrics that are noise that looks like signal). Call sites that
@@ -137,14 +194,32 @@ def main(argv=None):
     p.add_argument("--window", type=int, default=64)
     p.add_argument("--stride", type=int, default=16)
     p.add_argument("--lang-model", default=None, help="path to a local sbert/clip tower; hash stub if omitted")
+    p.add_argument("--relabel", action="store_true",
+                   help="re-embed the EXISTING --lang-folder annotations with "
+                        "--lang-model into --dst-folder instead of replaying "
+                        "(reference relabel_with_new_lang_model.py)")
+    p.add_argument("--dst-folder", default="lang_annotations_relabeled")
+    p.add_argument("--resample", action="store_true",
+                   help="with --relabel: also re-draw sentences from the bank")
+    p.add_argument("--stats", action="store_true",
+                   help="only print per-task window counts "
+                        "(reference dataset_task_statistics.py)")
     args = p.parse_args(argv)
+    if args.stats:
+        for task, n in dataset_task_statistics(args.data_dir, args.window, args.stride).items():
+            print(f"{task}: {n}")
+        return
     embed_fn = None
     if args.lang_model:
         from hulc2_tpu.models.language import SBertEncoder
 
         enc = SBertEncoder(args.lang_model)
         embed_fn = lambda anns: np.asarray(enc(anns))
-    annotate_dataset(args.data_dir, args.lang_folder, args.window, args.stride, embed_fn)
+    if args.relabel:
+        relabel_dataset(args.data_dir, args.lang_folder, args.dst_folder, embed_fn,
+                        resample=args.resample)
+    else:
+        annotate_dataset(args.data_dir, args.lang_folder, args.window, args.stride, embed_fn)
 
 
 if __name__ == "__main__":

@@ -97,6 +97,27 @@ class TestAnnotator:
         assert len(lang["language"]["ann"]) > 0
         assert all(a == VALIDATION_BANK["open_drawer"] for a in lang["language"]["ann"])
 
+    def test_relabel_and_stats(self, tmp_path):
+        """relabel_dataset re-embeds existing annotations into a new folder
+        (reference relabel_with_new_lang_model.py role); dataset_task_statistics
+        counts task windows (reference dataset_task_statistics.py role)."""
+        from hulc2_tpu.tools.auto_lang_annotator import (
+            dataset_task_statistics, relabel_dataset)
+
+        d = tmp_path / "training"
+        write_play_dataset(d, [(0, 127)], with_scene_task="open_drawer")
+        annotate_dataset(d, window=64, stride=8)
+        relabeled = relabel_dataset(d, embed_fn=lambda anns: hash_embed(anns, dim=64))
+        assert relabeled["language"]["emb"].shape[-1] == 64
+        src = np.load(d / "lang_annotations" / "auto_lang_ann.npy", allow_pickle=True).item()
+        assert relabeled["language"]["ann"] == src["language"]["ann"]  # no resample
+        assert relabeled["info"]["indx"] == src["info"]["indx"]
+        out = np.load(d / "lang_annotations_relabeled" / "auto_lang_ann.npy",
+                      allow_pickle=True).item()
+        assert out["language"]["emb"].shape[-1] == 64
+        stats = dataset_task_statistics(d, window=64, stride=8)
+        assert stats.get("open_drawer", 0) > 0
+
     def test_hash_embed_deterministic(self):
         a = hash_embed(["open the drawer", "close the drawer"])
         b = hash_embed(["open the drawer", "close the drawer"])
