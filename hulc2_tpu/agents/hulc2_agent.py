@@ -134,6 +134,19 @@ class Hulc2Agent(BaseAgent):
         raw["actions"] = jnp.zeros((self.n_envs, 1, 7), jnp.float32)  # unused by transform consumers
         return raw
 
+    def make_visual_goal(self, goal_obs: Dict) -> Dict:
+        """Raw env-style goal observation -> transformed visual-goal dict for
+        ``policy_step``'s visual branch (the reference's vis-modality
+        rollouts use the goal image of a validation episode,
+        rollout.py:318-340). Run once per subtask; the returned dict is
+        device-resident and reused every step."""
+        raw = self._obs_to_device(goal_obs)
+        # validation transform pipeline: deterministic (resize + normalize),
+        # the key is consumed only by augmentation ops absent from val presets
+        tfd = self._transform(jax.random.PRNGKey(0), raw)
+        return {"rgb_obs": tfd["rgb_obs"], "depth_obs": tfd["depth_obs"],
+                "robot_obs": tfd["robot_obs"]}
+
     def step_async(self, obs: Dict, goal: Dict) -> jnp.ndarray:
         """Submit ONE jitted policy dispatch for the current observation(s)
         and return the (async) device action array without blocking. Used by

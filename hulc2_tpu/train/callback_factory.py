@@ -77,6 +77,81 @@ def make_policy_rollout_fn_factory(cfg: dict, ep_len: int, lang_embeddings=None,
     return factory
 
 
+def make_vis_rollout_fn_factory(cfg: dict, ep_len: int, dataset_path,
+                                env_spec: str = "calvin") -> Optional[Callable]:
+    """Vision-modality rollouts (the reference Rollout callback's "vis" half,
+    rollout.py:277-340): for each task, find validation windows where the
+    scene-obs oracle detects the task, reset the env to the window's first
+    frame state, and roll out toward the window's LAST frame as a visual
+    goal. Returns None when the validation split has no usable windows."""
+    from pathlib import Path as _P
+
+    from hulc2_tpu.data.episode_index import load_ep_start_end_ids
+    from hulc2_tpu.data.frame_store import NpzFrameStore
+    from hulc2_tpu.tools.auto_lang_annotator import detect_task_windows
+
+    val_dir = _P(dataset_path) / "validation"
+    rgb_keys = list(cfg["datamodule"]["observation_space"]["rgb_obs"])
+    depth_keys = list(cfg["datamodule"]["observation_space"]["depth_obs"])
+    keys = rgb_keys + depth_keys + ["robot_obs", "scene_obs"]
+    try:
+        ep_ids = load_ep_start_end_ids(val_dir, "validation")
+        store = NpzFrameStore(val_dir, keys)
+        hits = detect_task_windows(store, ep_ids)
+    except (FileNotFoundError, OSError) as e:
+        logger.warning("vis rollouts disabled: %s", e)
+        return None
+    by_task: dict = {}
+    for h in hits:
+        by_task.setdefault(h["task"], []).append(h["indx"])
+    if not by_task:
+        logger.warning("vis rollouts disabled: no oracle-detected windows in %s", val_dir)
+        return None
+    logger.info("vis rollouts: %d tasks with goal windows", len(by_task))
+
+    def env_obs(frame: dict) -> dict:
+        return {
+            "rgb_obs": {k: frame[k] for k in rgb_keys if k in frame},
+            "depth_obs": {k: frame[k] for k in depth_keys if k in frame},
+            "robot_obs": frame["robot_obs"],
+        }
+
+    def factory(trainer, state):
+        from hulc2_tpu.agents.hulc2_agent import Hulc2Agent
+        from hulc2_tpu.envs.task_oracle import make_oracle
+
+        oracle = make_oracle(real_env=(env_spec == "calvin"))
+        counters: dict = {}
+
+        def rollout_fn(env, subtask: str) -> bool:
+            windows = by_task.get(subtask)
+            if not windows:
+                return False  # task absent from the val split
+            agent = getattr(rollout_fn, "_agent", None)
+            if agent is None or agent.env is not env:
+                agent = Hulc2Agent(env, trainer.model, state.params, cfg["datamodule"])
+                rollout_fn._agent = agent
+            k = counters.get(subtask, 0)
+            counters[subtask] = k + 1
+            s, e = windows[k % len(windows)]
+            first, last = store.load_frame(s), store.load_frame(e)
+            env.reset(robot_obs=first["robot_obs"], scene_obs=first["scene_obs"])
+            goal = agent.make_visual_goal(env_obs(last))
+            agent.reset()
+            start = env.get_info()
+            obs = env.get_obs()
+            for _ in range(ep_len):
+                action = agent.step(obs, goal)
+                obs, _, _, _ = env.step(action)
+                if subtask in oracle.get_task_info_for_set(start, env.get_info(), [subtask]):
+                    return True
+            return False
+
+        return rollout_fn
+
+    return factory
+
+
 def build_callbacks(cfg: dict, run_dir, lang_embeddings=None) -> List:
     from hulc2_tpu.train.callbacks import (
         RolloutCallback,
@@ -121,6 +196,25 @@ def build_callbacks(cfg: dict, run_dir, lang_embeddings=None) -> List:
                 start_epoch=ro.get("start_epoch", 1),
             )
         )
+        # vision-modality rollouts (reference rollout.py:277 rolls out BOTH
+        # modalities): goal image from an oracle-detected validation window
+        vis_ds = ro.get("dataset_path") or cfg.get("datamodule", {}).get("root_data_dir")
+        if ro.get("vis", True) and vis_ds:
+            vis_factory = make_vis_rollout_fn_factory(
+                cfg, ro.get("ep_len", 120), vis_ds, env_spec=ro.get("env", "calvin")
+            )
+            if vis_factory is not None:
+                cbs.append(
+                    RolloutCallback(
+                        env_factory=env_factory,
+                        rollout_fn_factory=vis_factory,
+                        rollouts_per_task=ro.get("rollouts_per_task", 10),
+                        every_n_epochs=ro.get("every_n_epochs", 5),
+                        start_epoch=ro.get("start_epoch", 1),
+                        metric_prefix="tasks_vis",
+                        rollout_resets_env=True,
+                    )
+                )
     if cb_cfg.get("tsne_plot"):
         cbs.append(TSNEPlotCallback(run_dir, every_n_epochs=cb_cfg["tsne_plot"].get("every_n_epochs", 10)))
     return cbs

@@ -159,6 +159,8 @@ class RolloutCallback:
         every_n_epochs: int = 5,
         start_epoch: int = 1,
         ep_len: int = 120,
+        metric_prefix: str = "tasks",
+        rollout_resets_env: bool = False,
     ):
         from hulc2_tpu.evaluation.tasks import TASK_NAMES
 
@@ -169,6 +171,10 @@ class RolloutCallback:
         self.every_n_epochs = every_n_epochs
         self.start_epoch = start_epoch
         self.ep_len = ep_len
+        self.metric_prefix = metric_prefix
+        # vis-modality rollouts reset the env themselves (from recorded
+        # dataset states) — skip the symbolic initial-state reset then
+        self.rollout_resets_env = rollout_resets_env
 
     def __call__(self, trainer, epoch: int, state, val_metrics: Dict, **kw):
         if epoch < self.start_epoch or (epoch - self.start_epoch) % self.every_n_epochs:
@@ -188,6 +194,12 @@ class RolloutCallback:
         for t_idx, task in enumerate(self.tasks):
             if task not in my_tasks:
                 continue
+            if self.rollout_resets_env:
+                for _ in range(self.rollouts_per_task):
+                    attempts[t_idx] += 1
+                    if rollout_fn(env, task):
+                        succ[t_idx] += 1
+                continue
             # initial states where the task is unambiguously executable
             valid = [s for s in states if len(successor_states(s, task)) == 1]
             for k in range(min(self.rollouts_per_task, len(valid))):
@@ -200,9 +212,9 @@ class RolloutCallback:
         attempts = allgather_counts(attempts)
         for t_idx, task in enumerate(self.tasks):
             if attempts[t_idx]:
-                val_metrics[f"tasks/{task}_sr"] = float(succ[t_idx] / attempts[t_idx])
+                val_metrics[f"{self.metric_prefix}/{task}_sr"] = float(succ[t_idx] / attempts[t_idx])
         total = attempts.sum()
-        val_metrics["tasks/average_sr"] = float(succ.sum() / total) if total else 0.0
+        val_metrics[f"{self.metric_prefix}/average_sr"] = float(succ.sum() / total) if total else 0.0
 
 
 class TSNEPlotCallback:
