@@ -34,7 +34,7 @@ SBATCH_TEMPLATE = """#!/bin/bash
 {extra_directives}
 
 # run under timeout; on timeout (124) requeue this same script
-timeout {timeout_hours}h {command} --run-dir {run_dir} {overrides}
+timeout {timeout_hours}h {command}{run_dir_flag} {overrides}
 if [ $? -eq 124 ]; then
     echo "job timed out - resubmitting"
     sbatch $0
@@ -54,6 +54,9 @@ def generate_sbatch(
 ) -> Path:
     run_dir = Path(run_dir)
     run_dir.mkdir(parents=True, exist_ok=True)
+    # only the training entry understands --run-dir; other wrapped commands
+    # (e.g. the eval CLI, slurm_eval.py role) take their paths via overrides
+    run_dir_flag = f" --run-dir {run_dir}" if "hulc2_tpu.training" in command else ""
     script = SBATCH_TEMPLATE.format(
         job_name=job_name,
         partition=partition,
@@ -62,6 +65,7 @@ def generate_sbatch(
         cpus=cpus,
         run_dir=run_dir,
         command=command,
+        run_dir_flag=run_dir_flag,
         overrides=" ".join(overrides or []),
         extra_directives=extra_directives,
     )
@@ -110,13 +114,16 @@ def main(argv=None):
     g.add_argument("--job-name", default="hulc2_tpu")
     g.add_argument("--partition", default="tpu")
     g.add_argument("--hours", type=int, default=24)
+    g.add_argument("--command", default="python -m hulc2_tpu.training",
+                   help="entry to wrap (e.g. the eval CLI — the reference's "
+                        "slurm_eval.py role: run_on_cluster/slurm_eval.py)")
     g.add_argument("overrides", nargs="*")
     w = sub.add_parser("watchdog")
     w.add_argument("command", nargs=argparse.REMAINDER)
     args = p.parse_args(argv)
     if args.cmd == "sbatch":
         generate_sbatch(args.run_dir, overrides=args.overrides, job_name=args.job_name,
-                        partition=args.partition, hours=args.hours)
+                        partition=args.partition, hours=args.hours, command=args.command)
         return 0
     return watchdog(args.command)
 
