@@ -36,7 +36,7 @@ def iter_play_frames(data_dir, start: int = None, end: int = None):
             yield i, store.load_frame(i)
 
 
-def render_play_frame(idx: int, frame: dict) -> np.ndarray:
+def render_play_frame(idx: int, frame: dict, annotation: str = None) -> np.ndarray:
     import cv2
 
     img = frame["rgb_static"][:, :, ::-1].copy()
@@ -44,13 +44,31 @@ def render_play_frame(idx: int, frame: dict) -> np.ndarray:
         g = cv2.resize(frame["rgb_gripper"][:, :, ::-1], (img.shape[1] // 3, img.shape[0] // 3))
         img[: g.shape[0], -g.shape[1]:] = g
     grip = float(frame["robot_obs"][-1])
-    return add_img_text(img, f"frame {idx}  gripper {'closed' if grip < 0 else 'open'}")
+    text = f"frame {idx}  gripper {'closed' if grip < 0 else 'open'}"
+    if annotation:
+        text += f"  |  {annotation}"
+    return add_img_text(img, text)
+
+
+def load_annotation_spans(data_dir, lang_folder: str = "lang_annotations"):
+    """frame idx -> active language annotation, from auto_lang_ann.npy
+    (the reference's visualize_annotations.py role). Empty when unannotated."""
+    f = Path(data_dir) / lang_folder / "auto_lang_ann.npy"
+    if not f.exists():
+        return {}
+    data = np.load(f, allow_pickle=True).item()
+    spans = {}
+    for (s, e), ann in zip(data["info"]["indx"], data["language"]["ann"]):
+        for i in range(int(s), int(e) + 1):
+            spans.setdefault(i, ann)
+    return spans
 
 
 def visualize_play(data_dir, out: str = None, show: bool = False, fps: int = 15, limit: int = 600):
+    spans = load_annotation_spans(data_dir)
     frames = []
     for n, (idx, frame) in enumerate(iter_play_frames(data_dir)):
-        img = render_play_frame(idx, frame)
+        img = render_play_frame(idx, frame, annotation=spans.get(idx))
         if show:
             import cv2
 
