@@ -91,8 +91,7 @@ def visualize_affordance(data_dir, train_dir: str = None, out_dir: str = None,
     from hulc2_tpu.affordance.dataset import AffordanceDataset
     from hulc2_tpu.tools.auto_lang_annotator import hash_embed
 
-    ds = AffordanceDataset(data_dir, "validation", lang_embedder=lambda s: hash_embed([s])[0])
-    predictor = None
+    predictor, lang_dim = None, 384
     if train_dir:
         import jax
 
@@ -104,14 +103,20 @@ def visualize_affordance(data_dir, train_dir: str = None, out_dir: str = None,
         model = build_detector(cfg["aff_detection"])
         ckpt = CheckpointManager(train_dir)
         img_hw = cfg["aff_detection"]["dataset"]["img_resize"][cfg["aff_detection"]["dataset"]["cam"]]
+        lang_dim = cfg["aff_detection"]["lang_embed_dim"]
         # restore raw variable dict
         variables = ckpt.restore(
             jax.jit(lambda r, i, l: model.init(r, i, l, False))(
                 jax.random.PRNGKey(0),
                 np.zeros((1, img_hw, img_hw, 3), np.float32),
-                np.zeros((1, cfg["aff_detection"]["lang_embed_dim"]), np.float32))
+                np.zeros((1, lang_dim), np.float32))
         )
         predictor = AffordancePredictor(model, variables, input_hw=(img_hw, img_hw))
+        logger.warning("predictions use stub hash embeddings of the captions — "
+                       "qualitative viz only (a real eval supplies the model's "
+                       "own language embeddings)")
+    ds = AffordanceDataset(data_dir, "validation",
+                           lang_embedder=lambda s: hash_embed([s], dim=lang_dim)[0])
 
     out_dir = Path(out_dir or "aff_viz")
     out_dir.mkdir(parents=True, exist_ok=True)

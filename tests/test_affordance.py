@@ -343,6 +343,31 @@ class TestAuxScripts:
         ds = AffordanceDataset(tmp_path / "out", "training", "static", 64)
         assert len(ds) == 6 and ds[0]["px"].tolist() == [32, 32]  # 2 train eps x 3 frames
 
+    @pytest.mark.slow
+    def test_visualize_predictions_with_errors_json(self, tmp_path):
+        """visualize_dataset affordance --train-dir: trained checkpoint ->
+        heatmap previews + pixel/depth error stats (the reference
+        get_aff_preds.py errors.json role)."""
+        from hulc2_tpu.affordance.train_affordance import train
+        from hulc2_tpu.tools.visualize_dataset import visualize_affordance
+
+        run_dir = tmp_path / "aff_run"
+        train(["aff_detection.decoder_channels=[16,8,8,8,8]",
+               "aff_detection.lang_embed_dim=16",
+               "aff_detection.dataset.img_resize.static=32",
+               "batch_size=2", "num_workers=1"],
+              max_epochs=1, max_steps=1, synthetic=True, run_dir=run_dir, n_synthetic=2)
+        data = tmp_path / "data"
+        self._mined_dataset(data, ["episode_0", "episode_1"], 2.0, 0.5)
+        out = tmp_path / "viz"
+        visualize_affordance(data, train_dir=str(run_dir), out_dir=str(out), n=3)
+        assert (out / "errors.json").exists()
+        stats = json.loads((out / "errors.json").read_text())
+        assert len(stats["samples"]) == 3
+        assert np.isfinite(stats["mean_px_error"])
+        assert "mean_depth_error" in stats
+        assert len(list(out.glob("sample_*.png"))) == 3
+
     def test_move_to_pt_sanity(self):
         from hulc2_tpu.affordance.test_move_to_pt import run
 
