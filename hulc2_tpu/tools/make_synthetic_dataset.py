@@ -73,30 +73,67 @@ def make_synthetic_calvin(
             continue
         d.mkdir(parents=True, exist_ok=True)
         np.save(ids_file, np.asarray(ranges))
+        # Oracle-consistent episodes: a symbolic FakeCalvinEnv evolves
+        # scene_obs through REAL task transitions (the task model picks only
+        # feasible tasks), so the scene-obs oracle, the auto-annotator,
+        # dataset statistics, and the vis-modality rollout callback all find
+        # genuine windows in this fixture. Frames stay random noise — the
+        # fixture exists for pipeline/protocol testing, not model quality.
+        from hulc2_tpu.envs.fake_env import FakeCalvinEnv
+        from hulc2_tpu.evaluation.initial_states import get_env_state_for_initial_condition
+        from hulc2_tpu.evaluation.sequences import enumerate_initial_states
+        from hulc2_tpu.evaluation.tasks import successor_states
+        from hulc2_tpu.tools.auto_lang_annotator import hash_embed
+
+        init_states = enumerate_initial_states()
+        performed = []  # (frame_idx, task) across the split
+        task_every = 40
         for start, end in ranges:
+            sym = dict(init_states[int(rng.integers(len(init_states)))])
+            robot_obs, scene_obs = get_env_state_for_initial_condition(dict(sym))
+            env = FakeCalvinEnv(static_hw=8, gripper_hw=8, seed=int(rng.integers(1 << 31)))
+            env.reset(robot_obs=robot_obs, scene_obs=scene_obs)
             for i in range(start, end + 1):
+                if i > start and (i - start) % task_every == 0:
+                    feasible = [t for t in TASK_NAMES if len(successor_states(sym, t)) == 1]
+                    if feasible:
+                        task = feasible[int(rng.integers(len(feasible)))]
+                        env.perform(task)
+                        sym = successor_states(sym, task)[0]
+                        performed.append((i, task))
+                action = np.clip(rng.standard_normal(7) * 0.2, -1, 1).astype(np.float32)
+                env.step(action)
                 np.savez(
                     d / f"episode_{i:07d}.npz",
                     rgb_static=rng.integers(0, 256, (static_hw, static_hw, 3), np.uint8),
                     rgb_gripper=rng.integers(0, 256, (gripper_hw, gripper_hw, 3), np.uint8),
-                    robot_obs=rng.standard_normal(15).astype(np.float32),
-                    scene_obs=rng.standard_normal(24).astype(np.float32),
-                    rel_actions=np.clip(rng.standard_normal(7), -1, 1).astype(np.float32),
+                    robot_obs=env.robot_obs.astype(np.float32),
+                    scene_obs=env.scene_obs.astype(np.float32),
+                    rel_actions=action,
                     actions=np.clip(rng.standard_normal(7), -1, 1).astype(np.float32),
                 )
-        # language annotations: windows sampled inside episodes
-        tasks = [TASK_NAMES[int(rng.integers(len(TASK_NAMES)))] for _ in range(n_lang)]
-        anns = [ANNOTATION_BANK[t][int(rng.integers(len(ANNOTATION_BANK[t])))] for t in tasks]
-        indx = []
-        for _ in range(n_lang):
-            s0, e0 = ranges[int(rng.integers(len(ranges)))]
-            lo = int(rng.integers(s0, max(s0 + 1, e0 - 64)))
-            indx.append((lo, min(lo + 64, e0)))
+        # language annotations: windows SPANNING actual performed transitions
+        # (reference auto_lang_ann semantics); round-robin over transitions
+        # up to n_lang windows, deterministic hash embeddings so identical
+        # sentences always map to identical vectors
+        ids = np.asarray(ranges)
+        tasks, anns, indx = [], [], []
+        for k in range(n_lang):
+            if not performed:
+                break
+            i, task = performed[k % len(performed)]
+            s0, e0 = next((s, e) for s, e in ranges if s <= i <= e)
+            lo = max(s0, i - 32)
+            hi = min(e0, lo + 63)
+            tasks.append(task)
+            anns.append(ANNOTATION_BANK[task][int(rng.integers(len(ANNOTATION_BANK[task])))])
+            indx.append((int(lo), int(hi)))
         ann = {
             "language": {
                 "ann": anns,
                 "task": tasks,
-                "emb": rng.standard_normal((n_lang, 1, lang_dim)).astype(np.float32),
+                "emb": hash_embed(anns, dim=lang_dim)[:, None, :] if anns
+                else np.zeros((0, 1, lang_dim), np.float32),
             },
             "info": {"episodes": [], "indx": indx},
         }
@@ -107,7 +144,7 @@ def make_synthetic_calvin(
         # embeddings.npy) so rollout callbacks never need stub fallbacks
         emb_lookup = {
             t: {"ann": [ANNOTATION_BANK[t][0]],
-                "emb": rng.standard_normal((1, lang_dim)).astype(np.float32)}
+                "emb": hash_embed([ANNOTATION_BANK[t][0]], dim=lang_dim)}
             for t in TASK_NAMES
         }
         np.save(lf / "embeddings.npy", emb_lookup)

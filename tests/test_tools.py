@@ -97,6 +97,29 @@ class TestAnnotator:
         assert len(lang["language"]["ann"]) > 0
         assert all(a == VALIDATION_BANK["open_drawer"] for a in lang["language"]["ann"])
 
+    def test_synthetic_dataset_is_oracle_consistent(self, tmp_path):
+        """make_synthetic_calvin episodes evolve through REAL symbolic task
+        transitions: every written language window is confirmed by the
+        scene-obs oracle, so annotator/stats/vis-rollouts work on the
+        fixture."""
+        from hulc2_tpu.data.frame_store import NpzFrameStore
+        from hulc2_tpu.envs.task_oracle import SceneObsTaskOracle
+        from hulc2_tpu.tools.make_synthetic_dataset import make_synthetic_calvin
+
+        root = make_synthetic_calvin(tmp_path / "ds", episodes=1, frames_per_episode=130,
+                                     val_episodes=1, val_frames=90, static_hw=16,
+                                     gripper_hw=16, n_lang=4)
+        ann = np.load(root / "training" / "lang_annotations" / "auto_lang_ann.npy",
+                      allow_pickle=True).item()
+        assert len(ann["language"]["ann"]) > 0
+        store = NpzFrameStore(root / "training", ["scene_obs"])
+        oracle = SceneObsTaskOracle()
+        for (s, e), task in zip(ann["info"]["indx"], ann["language"]["task"]):
+            a, b = store.load_frame(s), store.load_frame(e)
+            done = oracle.get_task_info_for_set(
+                {"scene_obs": a["scene_obs"]}, {"scene_obs": b["scene_obs"]}, [task])
+            assert task in done, (task, s, e)
+
     def test_relabel_and_stats(self, tmp_path):
         """relabel_dataset re-embeds existing annotations into a new folder
         (reference relabel_with_new_lang_model.py role); dataset_task_statistics
