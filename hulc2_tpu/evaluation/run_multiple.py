@@ -44,6 +44,7 @@ def main(argv=None):
     p.add_argument("--n-envs", type=int, default=None)
     p.add_argument("--cohorts", type=int, default=None)
     p.add_argument("--single-step", action="store_true")
+    p.add_argument("--process-envs", action="store_true")
     args = p.parse_args(argv)
 
     steps = args.checkpoints or list_checkpoints(args.train_dir)
@@ -69,6 +70,8 @@ def main(argv=None):
             cmd += ["--cohorts", str(args.cohorts)]
         if args.single_step:
             cmd += ["--single-step"]
+        if args.process_envs:
+            cmd += ["--process-envs"]
         return cmd
 
     if args.workers <= 1:
