@@ -193,11 +193,20 @@ class Trainer:
                 for cb in recorders:
                     cb.record(np.asarray(plans), np.asarray(labels))
 
-            # ---- checkpoint + callbacks ----
-            if is_main or mesh_lib.process_count() > 1:
-                ckpt.save(int(state.step), state, {**val_metrics})
+            # ---- callbacks, then checkpoint ----
+            # Callbacks append their metrics (eval_lh/*, tasks/*, tasks_vis/*)
+            # into val_metrics; they must run BEFORE the checkpoint save so
+            # monitor-based retention (callbacks/checkpoint=task_sr / lh_sr)
+            # sees them, and their additions must be logged separately (they
+            # carry their own prefixes, unlike the val/ scalars above).
+            pre_cb_keys = set(val_metrics)
             for cb in self.callbacks:
                 cb(self, epoch=epoch, state=state, val_metrics=val_metrics)
+            cb_metrics = {k: v for k, v in val_metrics.items() if k not in pre_cb_keys}
+            if cb_metrics:
+                mlog.log(cb_metrics, int(state.step))
+            if is_main or mesh_lib.process_count() > 1:
+                ckpt.save(int(state.step), state, {**val_metrics})
             if self._preempted or (max_steps and total_steps >= max_steps):
                 logger.warning("stopping early (preempted=%s)", self._preempted)
                 break

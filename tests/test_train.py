@@ -79,6 +79,44 @@ class TestTrainerSmoke:
         )
         assert int(state2.step) >= 2
 
+    def test_callback_metrics_reach_log_and_checkpoint(self, tmp_path):
+        """Callback-produced metrics (eval_lh/*, tasks/*) must land in
+        metrics.jsonl AND be visible to monitor-based checkpoint retention —
+        regression: they used to be appended to val_metrics AFTER both the
+        log write and the ckpt.save call, silently dropping rollout SR."""
+        import json
+
+        import hulc2_tpu.configs  # noqa: F401
+        from hulc2_tpu.core import config as cfg_lib
+        from hulc2_tpu.data.datamodule import RandomDataModule
+        from hulc2_tpu.train.trainer import Trainer
+
+        cfg = cfg_lib.compose("cfg_low_level", SMALL_OVERRIDES)
+        seen_by_ckpt = {}
+
+        def stub_callback(trainer, epoch, state, val_metrics, **kw):
+            val_metrics["tasks/stub_sr"] = 0.75
+
+        dm = RandomDataModule(cfg["datamodule"])
+        dm.setup()
+        trainer = Trainer(cfg, dm, tmp_path / "run", callbacks=[stub_callback])
+        from hulc2_tpu.core.checkpoint import CheckpointManager
+
+        orig_save = CheckpointManager.save
+
+        def spy_save(self, step, state, metrics=None, **kw):
+            seen_by_ckpt.update(metrics or {})
+            return orig_save(self, step, state, metrics, **kw)
+
+        CheckpointManager.save = spy_save
+        try:
+            trainer.fit(max_epochs=1, max_steps=2)
+        finally:
+            CheckpointManager.save = orig_save
+        lines = [json.loads(l) for l in (tmp_path / "run" / "metrics.jsonl").read_text().splitlines()]
+        assert any(l.get("tasks/stub_sr") == 0.75 for l in lines), "callback metric not logged"
+        assert seen_by_ckpt.get("tasks/stub_sr") == 0.75, "checkpoint monitor never saw it"
+
     @pytest.mark.parametrize("preset,expect", [
         ("vision_only", {"vis"}), ("lang_only", {"lang"})])
     def test_single_modality_training(self, tmp_path, preset, expect):
