@@ -123,10 +123,10 @@ def make_vis_rollout_fn_factory(cfg: dict, ep_len: int, dataset_path,
         oracle = make_oracle(real_env=(env_spec == "calvin"))
         counters: dict = {}
 
-        def rollout_fn(env, subtask: str) -> bool:
+        def rollout_fn(env, subtask: str):
             windows = by_task.get(subtask)
             if not windows:
-                return False  # task absent from the val split
+                return None  # task absent from the val split — not attempted
             agent = getattr(rollout_fn, "_agent", None)
             if agent is None or agent.env is not env:
                 agent = Hulc2Agent(env, trainer.model, state.params, cfg["datamodule"])

@@ -196,9 +196,11 @@ class RolloutCallback:
                 continue
             if self.rollout_resets_env:
                 for _ in range(self.rollouts_per_task):
+                    r = rollout_fn(env, task)
+                    if r is None:  # no goal material for this task — skip
+                        break
                     attempts[t_idx] += 1
-                    if rollout_fn(env, task):
-                        succ[t_idx] += 1
+                    succ[t_idx] += int(bool(r))
                 continue
             # initial states where the task is unambiguously executable
             valid = [s for s in states if len(successor_states(s, task)) == 1]

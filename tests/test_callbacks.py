@@ -197,8 +197,8 @@ class TestRolloutCallback:
         env = FakeCalvinEnv(static_hw=16, gripper_hw=16)
         ok = rollout_fn(env, "open_drawer")
         assert ok in (True, False)  # ran end to end (untrained policy)
-        # tasks without detected windows are skipped, not crashed
-        assert rollout_fn(env, "lift_red_block_table") is False
+        # tasks without detected windows report "not attempted"
+        assert rollout_fn(env, "lift_red_block_table") is None
 
 
 class TestRolloutVideo:
