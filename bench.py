@@ -196,7 +196,7 @@ def _loader_fed_throughput(cfg, train_step, state, key, kl_beta, b, iters):
     # (measured: 161 ms/batch CPU-only process vs 1232 ms with a trivial TPU
     # client active). Measure the loader's true rate in a clean CPU-only
     # subprocess as well — that is the per-core extrapolation anchor.
-    host_ms_clean = _clean_host_assembly_ms(root, num_threads)
+    host_ms_clean = _clean_host_assembly_ms(root, num_threads, b)
 
     import numpy as _np
 
@@ -243,7 +243,7 @@ def _loader_fed_throughput(cfg, train_step, state, key, kl_beta, b, iters):
     ), extras
 
 
-def _clean_host_assembly_ms(root, num_threads, batches: int = 3):
+def _clean_host_assembly_ms(root, num_threads, batch_size, batches: int = 3):
     """Loader assembly rate in a fresh CPU-only subprocess (no TPU client
     thread contention). Returns ms/batch or None on failure."""
     import subprocess
@@ -259,6 +259,7 @@ def _clean_host_assembly_ms(root, num_threads, batches: int = 3):
         "dm_cfg = dict(cfg['datamodule'])\n"
         f"dm_cfg['root_data_dir'] = {root!r}\n"
         f"dm_cfg['num_workers'] = {num_threads}\n"
+        f"dm_cfg['batch_size_vis'] = dm_cfg['batch_size_lang'] = {batch_size}\n"
         "dm = Hulc2DataModule(dm_cfg, use_shm_cache=True)\n"
         "dm.setup()\n"
         "def epochs():\n"

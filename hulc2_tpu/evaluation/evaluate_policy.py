@@ -127,6 +127,8 @@ def main(argv=None):
             argv_rest += ["--n-envs", str(args.n_envs), "--cohorts", str(args.cohorts)]
         if args.single_step:
             argv_rest += ["--single-step"]
+        if args.process_envs:
+            argv_rest += ["--process-envs"]
         return run_all(argv_rest)
 
     t0 = time.time()

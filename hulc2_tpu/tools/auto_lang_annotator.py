@@ -132,9 +132,11 @@ def relabel_dataset(
     out = data_dir / dst_folder
     out.mkdir(parents=True, exist_ok=True)
     np.save(out / "auto_lang_ann.npy", lang_data)
+    # canonical lookup for EVERY task (matching annotate_dataset) so eval /
+    # rollout callbacks never hit a missing-task KeyError on rare tasks
     emb_lookup = {
         t: {"ann": [s], "emb": np.asarray(embed_fn([s]), np.float32)}
-        for t, s in ((t, VALIDATION_BANK[t]) for t in sorted(set(tasks)))
+        for t, s in ((t, VALIDATION_BANK[t]) for t in TASK_NAMES)
     }
     np.save(out / "embeddings.npy", emb_lookup)
     return lang_data

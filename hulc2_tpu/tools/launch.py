@@ -56,7 +56,8 @@ def generate_sbatch(
     run_dir.mkdir(parents=True, exist_ok=True)
     # only the training entry understands --run-dir; other wrapped commands
     # (e.g. the eval CLI, slurm_eval.py role) take their paths via overrides
-    run_dir_flag = f" --run-dir {run_dir}" if "hulc2_tpu.training" in command else ""
+    is_training = "hulc2_tpu.training" in command or command.strip().endswith("hulc2-train")
+    run_dir_flag = f" --run-dir {run_dir}" if is_training else ""
     script = SBATCH_TEMPLATE.format(
         job_name=job_name,
         partition=partition,

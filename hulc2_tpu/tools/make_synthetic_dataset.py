@@ -87,8 +87,9 @@ def make_synthetic_calvin(
 
         init_states = enumerate_initial_states()
         performed = []  # (frame_idx, task) across the split
-        task_every = 40
         for start, end in ranges:
+            # shorter test episodes still get at least one transition
+            task_every = max(2, min(40, (end - start) // 2))
             sym = dict(init_states[int(rng.integers(len(init_states)))])
             robot_obs, scene_obs = get_env_state_for_initial_condition(dict(sym))
             env = FakeCalvinEnv(static_hw=8, gripper_hw=8, seed=int(rng.integers(1 << 31)))
@@ -116,7 +117,9 @@ def make_synthetic_calvin(
         # (reference auto_lang_ann semantics); round-robin over transitions
         # up to n_lang windows, deterministic hash embeddings so identical
         # sentences always map to identical vectors
-        ids = np.asarray(ranges)
+        if not performed:
+            logger.warning("%s: no task transitions fit the episode lengths — "
+                           "language annotations will be EMPTY", split)
         tasks, anns, indx = [], [], []
         for k in range(n_lang):
             if not performed:

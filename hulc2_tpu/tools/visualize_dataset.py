@@ -138,7 +138,10 @@ def visualize_affordance(data_dir, train_dir: str = None, out_dir: str = None,
                 "sample": i,
                 "px_error": float(np.hypot(pred["pixel"][0] - gt_xy[0], pred["pixel"][1] - gt_xy[1])),
             }
-            if "depth" in pred and "depth" in s:
+            # AffordanceDataset emits depth=0.0 when the npz has no stored
+            # depth label — comparing against that placeholder would report
+            # |pred| as an "error"; a real camera depth is never exactly 0
+            if "depth" in pred and float(s.get("depth", 0.0)) != 0.0:
                 err["depth_error"] = abs(float(pred["depth"]) - float(s["depth"]))
             errors.append(err)
         img = add_img_text(img, caption)

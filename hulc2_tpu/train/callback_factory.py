@@ -34,12 +34,36 @@ def make_env_factory(env_spec: str, dataset_path=None) -> Callable:
     raise ValueError(env_spec)
 
 
+def _cached_agent(rollout_fn, env, trainer, state, cfg):
+    """One Hulc2Agent per env instance, cached on the rollout_fn."""
+    from hulc2_tpu.agents.hulc2_agent import Hulc2Agent
+
+    agent = getattr(rollout_fn, "_agent", None)
+    if agent is None or agent.env is not env:
+        agent = Hulc2Agent(env, trainer.model, state.params, cfg["datamodule"])
+        rollout_fn._agent = agent
+    return agent
+
+
+def _drive_policy(agent, env, goal, subtask: str, oracle, ep_len: int) -> bool:
+    """Shared rollout loop: clear the agent carry, step the policy up to
+    ep_len env steps, oracle-check after every step (both modalities)."""
+    agent.reset()
+    start = env.get_info()
+    obs = env.get_obs()
+    for _ in range(ep_len):
+        action = agent.step(obs, goal)
+        obs, _, _, _ = env.step(action)
+        if subtask in oracle.get_task_info_for_set(start, env.get_info(), [subtask]):
+            return True
+    return False
+
+
 def make_policy_rollout_fn_factory(cfg: dict, ep_len: int, lang_embeddings=None,
                                    env_spec: str = "calvin") -> Callable:
     """(trainer, state) -> rollout_fn(env, subtask) -> bool."""
 
     def factory(trainer, state):
-        from hulc2_tpu.agents.hulc2_agent import Hulc2Agent
         from hulc2_tpu.envs.task_oracle import make_oracle
         from hulc2_tpu.tools.annotations import ANNOTATION_BANK
         from hulc2_tpu.tools.auto_lang_annotator import hash_embed, require_stub_embeddings_ok
@@ -50,10 +74,7 @@ def make_policy_rollout_fn_factory(cfg: dict, ep_len: int, lang_embeddings=None,
         table = lang_embeddings or {}
 
         def rollout_fn(env, subtask: str) -> bool:
-            agent = getattr(rollout_fn, "_agent", None)
-            if agent is None or agent.env is not env:
-                agent = Hulc2Agent(env, trainer.model, state.params, cfg["datamodule"])
-                rollout_fn._agent = agent
+            agent = _cached_agent(rollout_fn, env, trainer, state, cfg)
             caption = ANNOTATION_BANK[subtask][0]
             emb = table.get(caption)
             if emb is None:
@@ -61,16 +82,8 @@ def make_policy_rollout_fn_factory(cfg: dict, ep_len: int, lang_embeddings=None,
                 # unless explicitly allowed (HULC2_ALLOW_STUB_EMBEDDINGS=1)
                 require_stub_embeddings_ok("rollout callback")
                 emb = hash_embed([caption])[0]
-            agent.reset()
-            start = env.get_info()
             goal = {"lang": np.asarray(emb, np.float32)}
-            obs = env.get_obs()
-            for _ in range(ep_len):
-                action = agent.step(obs, goal)
-                obs, _, _, _ = env.step(action)
-                if subtask in oracle.get_task_info_for_set(start, env.get_info(), [subtask]):
-                    return True
-            return False
+            return _drive_policy(agent, env, goal, subtask, oracle, ep_len)
 
         return rollout_fn
 
@@ -84,20 +97,20 @@ def make_vis_rollout_fn_factory(cfg: dict, ep_len: int, dataset_path,
     scene-obs oracle detects the task, reset the env to the window's first
     frame state, and roll out toward the window's LAST frame as a visual
     goal. Returns None when the validation split has no usable windows."""
-    from pathlib import Path as _P
-
     from hulc2_tpu.data.episode_index import load_ep_start_end_ids
     from hulc2_tpu.data.frame_store import NpzFrameStore
     from hulc2_tpu.tools.auto_lang_annotator import detect_task_windows
 
-    val_dir = _P(dataset_path) / "validation"
+    val_dir = Path(dataset_path) / "validation"
     rgb_keys = list(cfg["datamodule"]["observation_space"]["rgb_obs"])
     depth_keys = list(cfg["datamodule"]["observation_space"]["depth_obs"])
     keys = rgb_keys + depth_keys + ["robot_obs", "scene_obs"]
     try:
         ep_ids = load_ep_start_end_ids(val_dir, "validation")
+        # detection probes only scene_obs — don't decompress full frames for
+        # every stride; the full-key store serves the 2 goal frames/rollout
+        hits = detect_task_windows(NpzFrameStore(val_dir, ["scene_obs"]), ep_ids)
         store = NpzFrameStore(val_dir, keys)
-        hits = detect_task_windows(store, ep_ids)
     except (FileNotFoundError, OSError) as e:
         logger.warning("vis rollouts disabled: %s", e)
         return None
@@ -117,7 +130,6 @@ def make_vis_rollout_fn_factory(cfg: dict, ep_len: int, dataset_path,
         }
 
     def factory(trainer, state):
-        from hulc2_tpu.agents.hulc2_agent import Hulc2Agent
         from hulc2_tpu.envs.task_oracle import make_oracle
 
         oracle = make_oracle(real_env=(env_spec == "calvin"))
@@ -127,25 +139,14 @@ def make_vis_rollout_fn_factory(cfg: dict, ep_len: int, dataset_path,
             windows = by_task.get(subtask)
             if not windows:
                 return None  # task absent from the val split — not attempted
-            agent = getattr(rollout_fn, "_agent", None)
-            if agent is None or agent.env is not env:
-                agent = Hulc2Agent(env, trainer.model, state.params, cfg["datamodule"])
-                rollout_fn._agent = agent
+            agent = _cached_agent(rollout_fn, env, trainer, state, cfg)
             k = counters.get(subtask, 0)
             counters[subtask] = k + 1
             s, e = windows[k % len(windows)]
             first, last = store.load_frame(s), store.load_frame(e)
             env.reset(robot_obs=first["robot_obs"], scene_obs=first["scene_obs"])
             goal = agent.make_visual_goal(env_obs(last))
-            agent.reset()
-            start = env.get_info()
-            obs = env.get_obs()
-            for _ in range(ep_len):
-                action = agent.step(obs, goal)
-                obs, _, _, _ = env.step(action)
-                if subtask in oracle.get_task_info_for_set(start, env.get_info(), [subtask]):
-                    return True
-            return False
+            return _drive_policy(agent, env, goal, subtask, oracle, ep_len)
 
         return rollout_fn
 

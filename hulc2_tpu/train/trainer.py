@@ -176,14 +176,15 @@ class Trainer:
                 int(state.step), prefix="perf/",
             )
 
-            # ---- validation ----
-            val_metrics = self.validate(state.params, val_step, root_key)
+            # ---- validation (skipped after a preemption signal: the
+            # timeout-resubmit contract wants the checkpoint NOW) ----
+            val_metrics = {} if self._preempted else self.validate(state.params, val_step, root_key)
             if val_metrics:
                 mlog.log(val_metrics, int(state.step), prefix="val/")
 
             # plan-space diagnostics for t-SNE callbacks
             recorders = [cb for cb in self.callbacks if hasattr(cb, "record")]
-            if recorders and self.model.use_plan:
+            if recorders and self.model.use_plan and not self._preempted:
                 from hulc2_tpu.train.steps import make_plan_sampler
 
                 if not hasattr(self, "_plan_sampler"):
@@ -199,12 +200,19 @@ class Trainer:
             # monitor-based retention (callbacks/checkpoint=task_sr / lh_sr)
             # sees them, and their additions must be logged separately (they
             # carry their own prefixes, unlike the val/ scalars above).
-            pre_cb_keys = set(val_metrics)
-            for cb in self.callbacks:
-                cb(self, epoch=epoch, state=state, val_metrics=val_metrics)
-            cb_metrics = {k: v for k, v in val_metrics.items() if k not in pre_cb_keys}
-            if cb_metrics:
-                mlog.log(cb_metrics, int(state.step))
+            # A crashing callback must never cost the epoch's checkpoint, and
+            # after a preemption signal every second counts — skip rollouts
+            # and save immediately.
+            if not self._preempted:
+                pre_cb_keys = set(val_metrics)
+                for cb in self.callbacks:
+                    try:
+                        cb(self, epoch=epoch, state=state, val_metrics=val_metrics)
+                    except Exception:
+                        logger.exception("callback %r failed — continuing (checkpoint preserved)", cb)
+                cb_metrics = {k: v for k, v in val_metrics.items() if k not in pre_cb_keys}
+                if cb_metrics:
+                    mlog.log(cb_metrics, int(state.step))
             if is_main or mesh_lib.process_count() > 1:
                 ckpt.save(int(state.step), state, {**val_metrics})
             if self._preempted or (max_steps and total_steps >= max_steps):
