@@ -130,3 +130,71 @@ def test_two_process_sharded_train_step_matches_single_process(tmp_path):
     for loss, gn in vals:
         assert loss == pytest.approx(ref_loss, rel=1e-3), (loss, ref_loss)
         assert gn == pytest.approx(ref_gn, rel=1e-2), (gn, ref_gn)
+
+
+EVAL_SHARD_WORKER = textwrap.dedent(
+    """
+    import os, sys
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    pid, port = int(sys.argv[1]), sys.argv[2]
+    jax.distributed.initialize(f"localhost:{port}", num_processes=2, process_id=pid)
+    os.environ.setdefault("HULC2_ALLOW_STUB_EMBEDDINGS", "1")
+    from hulc2_tpu.envs.fake_env import FakeCalvinEnv
+    from hulc2_tpu.ops.fnv import fnv1_32
+    from hulc2_tpu.train.callbacks import RolloutLongHorizonCallback
+
+    def factory(trainer, state):
+        def rollout_fn(env, subtask):
+            # deterministic, process-independent outcome
+            if fnv1_32(subtask.encode()) % 2 == 0:
+                env.perform(subtask)
+                return True
+            return False
+        return rollout_fn
+
+    cb = RolloutLongHorizonCallback(
+        env_factory=lambda: FakeCalvinEnv(static_hw=16, gripper_hw=16),
+        rollout_fn_factory=factory, num_sequences=8, start_epoch=0)
+    metrics = {}
+    cb(None, epoch=0, state=None, val_metrics=metrics)
+    print(f"EVALSHARD_OK pid={pid} sr1={metrics['eval_lh/sr_chain_1']:.6f} "
+          f"seqlen={metrics['eval_lh/avg_seq_len']:.6f}")
+    """
+)
+
+
+@pytest.mark.slow
+def test_two_process_eval_chain_sharding_matches_single_process(tmp_path):
+    """The long-horizon callback shards the 8 chains across 2 real processes
+    and merges counters with host allgather (reference rollout_long_horizon
+    all_gather_object role, :54-62) — the merged SR must equal a
+    single-process run with the same deterministic rollout outcomes."""
+    import re
+
+    from hulc2_tpu.envs.fake_env import FakeCalvinEnv
+    from hulc2_tpu.ops.fnv import fnv1_32
+    from hulc2_tpu.train.callbacks import RolloutLongHorizonCallback
+
+    def factory(trainer, state):
+        def rollout_fn(env, subtask):
+            if fnv1_32(subtask.encode()) % 2 == 0:
+                env.perform(subtask)
+                return True
+            return False
+
+        return rollout_fn
+
+    cb = RolloutLongHorizonCallback(
+        env_factory=lambda: FakeCalvinEnv(static_hw=16, gripper_hw=16),
+        rollout_fn_factory=factory, num_sequences=8, start_epoch=0)
+    ref = {}
+    cb(None, epoch=0, state=None, val_metrics=ref)
+
+    outs = _spawn_workers(tmp_path, EVAL_SHARD_WORKER)
+    for i, out in enumerate(outs):
+        m = re.search(rf"EVALSHARD_OK pid={i} sr1=([-\d.]+) seqlen=([-\d.]+)", out)
+        assert m, out[-2000:]
+        assert float(m.group(1)) == pytest.approx(ref["eval_lh/sr_chain_1"], abs=1e-9)
+        assert float(m.group(2)) == pytest.approx(ref["eval_lh/avg_seq_len"], abs=1e-9)
