@@ -20,12 +20,22 @@ def _block_phrases(verb: str, color: str, direction: str = None) -> List[str]:
             f"rotate {obj} to the {direction}",
             f"turn {obj} {direction}",
             f"spin {obj} towards the {direction}",
+            f"rotate {obj} {direction}",
+            f"grab {obj} and turn it to the {direction}",
+            f"twist {obj} to the {direction}",
+            f"give {obj} a turn to the {direction}",
+            f"pick {obj} and rotate it {direction}wards",
         ]
     if verb == "push":
         return [
             f"push {obj} to the {direction}",
             f"slide {obj} {direction}",
             f"move {obj} to the {direction}",
+            f"push {obj} {direction}",
+            f"shove {obj} to the {direction}",
+            f"sweep {obj} towards the {direction}",
+            f"nudge {obj} {direction}",
+            f"slide {obj} over to the {direction} side",
         ]
     raise ValueError(verb)
 
@@ -37,44 +47,82 @@ def build_annotation_bank() -> Dict[str, List[str]]:
             for d in ("right", "left"):
                 bank[f"{verb}_{c}_block_{d}"] = _block_phrases(verb, c, d)
     bank["move_slider_left"] = ["move the sliding door to the left", "push the slider left",
-                                "slide the door to the left side"]
+                                "slide the door to the left side", "grab the slider and move it left",
+                                "push the sliding door towards the left", "shift the cabinet door left"]
     bank["move_slider_right"] = ["move the sliding door to the right", "push the slider right",
-                                 "slide the door to the right side"]
-    bank["open_drawer"] = ["open the drawer", "pull the drawer open", "pull the handle of the drawer"]
-    bank["close_drawer"] = ["close the drawer", "push the drawer shut", "push the drawer closed"]
+                                 "slide the door to the right side", "grab the slider and move it right",
+                                 "push the sliding door towards the right", "shift the cabinet door right"]
+    bank["open_drawer"] = ["open the drawer", "pull the drawer open", "pull the handle of the drawer",
+                           "grasp the handle and open the drawer", "slide the drawer out",
+                           "pull open the drawer below the table"]
+    bank["close_drawer"] = ["close the drawer", "push the drawer shut", "push the drawer closed",
+                            "grasp the handle and close the drawer", "slide the drawer back in",
+                            "push the drawer back under the table"]
     for c in COLORS:
         bank[f"lift_{c}_block_table"] = [
             f"pick up the {c} block from the table",
             f"lift the {c} block off the table",
             f"grab the {c} block on the table",
+            f"lift up the {c} block",
+            f"grasp the {c} block and lift it",
+            f"pick the {c} block up off the table",
+            f"raise the {c} block from the tabletop",
+            f"grasp the {c} block lying on the table and raise it",
         ]
         bank[f"lift_{c}_block_slider"] = [
             f"pick up the {c} block from the shelf",
             f"take the {c} block out of the slider",
             f"grab the {c} block from the sliding cabinet",
+            f"lift the {c} block in the slider",
+            f"grasp the {c} block inside the cabinet and lift it",
+            f"fetch the {c} block from the shelf",
         ]
         bank[f"lift_{c}_block_drawer"] = [
             f"pick up the {c} block from the drawer",
             f"take the {c} block out of the drawer",
+            f"lift the {c} block lying in the drawer",
+            f"grasp the {c} block in the drawer and lift it out",
+            f"fetch the {c} block from inside the drawer",
         ]
     bank["place_in_slider"] = ["put the block in the slider", "store the block in the sliding cabinet",
-                               "place the grasped block on the shelf"]
+                               "place the grasped block on the shelf",
+                               "set the block down inside the slider",
+                               "put the block you are holding into the cabinet",
+                               "place the block onto the shelf of the sliding door"]
     bank["place_in_drawer"] = ["put the block in the drawer", "store the block in the drawer",
-                               "drop the grasped block into the drawer"]
+                               "drop the grasped block into the drawer",
+                               "set the block down inside the drawer",
+                               "put the block you are holding into the drawer",
+                               "place the block into the open drawer"]
     bank["stack_block"] = ["stack the block on top of another block", "place the block on another block",
-                           "put the grasped block on top of a block"]
+                           "put the grasped block on top of a block",
+                           "set the block you hold onto another block",
+                           "stack the blocks", "build a tower with the blocks"]
     bank["unstack_block"] = ["take off the stacked block", "remove the block from the stack",
-                             "unstack the blocks"]
+                             "unstack the blocks", "lift the top block off the tower",
+                             "collapse the stack by removing the upper block",
+                             "take the block sitting on top of the other one"]
     bank["turn_on_lightbulb"] = ["turn on the light bulb", "move the switch up to turn on the bulb",
-                                 "switch on the yellow light"]
+                                 "switch on the yellow light", "flip the switch to light the bulb",
+                                 "toggle the switch so the bulb turns on",
+                                 "make the light bulb glow"]
     bank["turn_off_lightbulb"] = ["turn off the light bulb", "move the switch down to turn off the bulb",
-                                  "switch off the yellow light"]
+                                  "switch off the yellow light", "flip the switch to kill the bulb",
+                                  "toggle the switch so the bulb turns off",
+                                  "make the light bulb go dark"]
     bank["turn_on_led"] = ["turn on the led", "press the button to switch on the led",
-                           "push the button to turn on the green light"]
+                           "push the button to turn on the green light",
+                           "tap the button so the led lights up",
+                           "hit the button to light the led", "switch the led on"]
     bank["turn_off_led"] = ["turn off the led", "press the button to switch off the led",
-                            "push the button to turn off the green light"]
+                            "push the button to turn off the green light",
+                            "tap the button so the led goes dark",
+                            "hit the button to kill the led", "switch the led off"]
     bank["push_into_drawer"] = ["push the block into the drawer", "sweep the block into the open drawer",
-                                "slide the block off the table into the drawer"]
+                                "slide the block off the table into the drawer",
+                                "push the block over the edge into the drawer",
+                                "shove the block from the table into the drawer below",
+                                "sweep the block so it drops into the drawer"]
     assert set(bank) == set(TASK_NAMES)
     return bank
 
