@@ -35,15 +35,56 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 A100_BASELINE_SAMPLES_PER_SEC = 110.0  # estimated reference throughput (see docstring)
+V5E_BF16_PEAK_TFLOPS = 197.0  # per-chip bf16 peak (Google v5e spec sheet)
+
+
+def _backend_available(timeout_s: int = 180) -> bool:
+    """Bounded-time probe: can the default JAX backend compile + execute?
+
+    The axon-tunneled TPU backend fails by HANGING (multi-hour outages were
+    observed in round 2 — see .claude/skills/verify), so the probe must run in
+    a subprocess under a hard timeout; an in-process jax.devices() call would
+    wedge the whole benchmark and the driver would capture a traceback instead
+    of a structured skip."""
+    probe = (
+        "import os, jax\n"
+        "if os.environ.get('BENCH_PLATFORM'):\n"
+        "    jax.config.update('jax_platforms', os.environ['BENCH_PLATFORM'])\n"
+        "print(jax.jit(lambda x: x + 1)(1.0), jax.devices()[0].platform)\n"
+    )
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", probe], capture_output=True, text=True,
+            timeout=timeout_s,
+        )
+        return out.returncode == 0 and "2.0" in out.stdout
+    except (subprocess.TimeoutExpired, OSError):
+        return False
 
 
 def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    if os.environ.get("BENCH_SKIP_PROBE", "") != "1" and not _backend_available():
+        # structured skip (rc 0): the driver's BENCH capture stays parseable
+        # through a backend outage instead of recording a raw traceback
+        print(json.dumps({
+            "metric": "train_samples_per_sec_per_chip",
+            "value": None, "unit": "samples/s", "vs_baseline": None,
+            "skipped": True, "reason": "tpu backend unavailable (probe timed out)",
+        }))
+        return
     import jax
+
+    if os.environ.get("BENCH_PLATFORM"):
+        # CPU validation runs: the harness pins JAX_PLATFORMS=axon at a level
+        # that overrides the shell env var, so the override must go through
+        # jax.config (same workaround as tests/conftest.py)
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
     import jax.numpy as jnp
     import numpy as np
 
@@ -129,6 +170,21 @@ def main():
     samples = 2 * b * iters  # vis + lang sub-batches per step
     device_sps = samples / dt
 
+    # ---- MFU: FLOPs/step from the lowered computation's cost analysis ----
+    # (VERDICT r2 #5: defend "fast" as a fraction of v5e bf16 peak, not as a
+    # multiple of an estimated A100 number)
+    flops_per_step = tflops_s = mfu_pct = None
+    try:
+        ca = train_step.lower(state, raw_batch, key, kl_beta).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):  # older jax returns [dict]
+            ca = ca[0]
+        flops_per_step = float(ca.get("flops", 0.0)) or None
+        if flops_per_step:
+            tflops_s = flops_per_step / (dt / iters) / 1e12
+            mfu_pct = 100.0 * tflops_s / V5E_BF16_PEAK_TFLOPS
+    except Exception as e:  # cost_analysis is backend-dependent; never fatal
+        print(f"# cost_analysis unavailable: {e}", file=sys.stderr)
+
     # ---- end-to-end: real input pipeline feeding the same train step ----
     loader_sps, loader_desc, loader_extras = None, "skipped", {}
     if os.environ.get("BENCH_DEVICE_ONLY", "") != "1":
@@ -143,6 +199,9 @@ def main():
         "vs_baseline": round(device_sps / A100_BASELINE_SAMPLES_PER_SEC, 3),
         "loader_fed_samples_per_sec": round(loader_sps, 2) if loader_sps else None,
         "host_cpus": os.cpu_count(),
+        "flops_per_step": flops_per_step,
+        "achieved_tflops_per_s": round(tflops_s, 2) if tflops_s else None,
+        "mfu_pct_v5e_bf16_peak": round(mfu_pct, 2) if mfu_pct else None,
         **loader_extras,
         "loader": loader_desc,
     }
@@ -150,8 +209,9 @@ def main():
     print(
         f"# {jax.devices()[0].device_kind} | {n_params/1e6:.1f}M params | "
         f"device-only step {dt/iters*1000:.1f} ms | batch {2*b}x{s} frames | "
-        f"loss {final_loss:.3f} | loader-fed "
-        f"{'%.1f samples/s' % loader_sps if loader_sps else 'skipped'}",
+        f"loss {final_loss:.3f} | "
+        + (f"{tflops_s:.1f} TFLOP/s ({mfu_pct:.1f}% of v5e bf16 peak) | " if tflops_s else "")
+        + f"loader-fed {'%.1f samples/s' % loader_sps if loader_sps else 'skipped'}",
         file=sys.stderr,
     )
 
@@ -190,6 +250,10 @@ def _loader_fed_throughput(cfg, train_step, state, key, kl_beta, b, iters):
     for _ in range(3):
         next(host_it)
     host_ms = (time.perf_counter() - t0) / 3 * 1000
+    # close NOW: the loader's 2-batch look-ahead would otherwise keep
+    # assembling ~hundreds-of-MiB batches in background threads, contending
+    # for the single core during the clean-subprocess probe below
+    host_it.close()
 
     # The in-process number above is contaminated on this 1-core dev harness:
     # the axon tunnel client's background threads alone slow the loader ~8x

@@ -200,13 +200,26 @@ class AffordancePredictor:
         from hulc2_tpu.ops.preprocess import resize
 
         n = len(imgs_uint8)
+        if n == 0:
+            return []
         cap = 1 << max(0, int(n - 1).bit_length())  # next pow2 >= n
-        imgs = np.stack([np.asarray(im) for im in imgs_uint8])
+        imgs_list = [np.asarray(im) for im in imgs_uint8]
+        pre_resized = len({im.shape for im in imgs_list}) > 1
+        if pre_resized:
+            # mixed per-env camera resolutions: bring every item to input_hw
+            # individually (one compile per distinct source shape) so the
+            # stack below is rectangular
+            imgs_list = [
+                np.asarray(resize(jnp.asarray(im, jnp.float32)[None] / 255.0, *self.input_hw)[0])
+                for im in imgs_list
+            ]
+        imgs = np.stack(imgs_list)
         langs = np.stack([self._resolve_lang(e) for e in lang_embs])
         if cap > n:  # pad with row 0 (discarded)
             imgs = np.concatenate([imgs, np.repeat(imgs[:1], cap - n, 0)])
             langs = np.concatenate([langs, np.repeat(langs[:1], cap - n, 0)])
-        dev_imgs = resize(jnp.asarray(imgs).astype(jnp.float32) / 255.0, *self.input_hw)
+        dev = jnp.asarray(imgs)
+        dev_imgs = dev if pre_resized else resize(dev.astype(jnp.float32) / 255.0, *self.input_hw)
         self._n += 1
         px, depth, heat = self._predict(
             self.variables, dev_imgs, jnp.asarray(langs),

@@ -23,11 +23,19 @@ class RealWorldAgent(Hulc2Agent):
         self.static_camera = static_camera
         self.workspace = workspace or DEFAULT_WORKSPACE
 
+    def _host_camera(self):
+        """Every camera use (threshold projection in ``reset`` included) goes
+        through the calibrated static camera when one was supplied — the real
+        PandaLfpWrapper has no ``get_camera_params()``."""
+        if self.static_camera is not None:
+            return self.static_camera
+        return super()._host_camera()
+
     def get_aff_pred(self, caption: str):
         """Deproject with the calibrated camera instead of the sim camera."""
         obs = self.env.get_obs()
         pred = self.affordance.predict(obs["rgb_obs"]["rgb_static"], caption)
-        cam = self.static_camera or self._host_camera()
+        cam = self._host_camera()
         if "depth" in pred:
             target = cam.deproject_single_depth(pred["pixel"], pred["depth"])
         else:

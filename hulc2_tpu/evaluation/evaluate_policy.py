@@ -129,6 +129,10 @@ def main(argv=None):
             argv_rest += ["--single-step"]
         if args.process_envs:
             argv_rest += ["--process-envs"]
+        if args.aff_lang_embeddings:
+            argv_rest += ["--aff-lang-embeddings", args.aff_lang_embeddings]
+        if args.heuristic_oracle:
+            argv_rest += ["--heuristic-oracle"]
         return run_all(argv_rest)
 
     t0 = time.time()
@@ -136,7 +140,17 @@ def main(argv=None):
     log_dir = Path(args.log_dir or (Path(args.train_dir) / "evaluation"))
     sequences = get_sequences(args.num_sequences)
     if args.single_step:
-        sequences = harness.singlestep_sequences(sequences)
+        val_dir = Path(args.dataset_path) / "validation" if args.dataset_path else None
+        if val_dir and val_dir.is_dir():
+            # reference protocol: initial states from oracle-detected
+            # validation episodes (evaluate_policy_singlestep.py:22-41)
+            sequences = harness.dataset_singlestep_sequences(val_dir)
+        else:
+            logger.warning(
+                "--single-step without a dataset validation split: using "
+                "truncated 1000-chain initial states (approximation of the "
+                "reference's recorded-episode distribution)")
+            sequences = harness.singlestep_sequences(sequences)
     # native calvin_env oracle for real-simulator scoring, heuristic otherwise
     oracle = make_oracle(real_env=not args.fake_env,
                          force_heuristic=args.heuristic_oracle)

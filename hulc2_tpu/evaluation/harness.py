@@ -35,12 +35,46 @@ def count_success(results: Sequence[int]) -> List[float]:
 
 
 def singlestep_sequences(sequences):
-    """Truncate each chain to its first subtask — the reference's single-step
-    per-task SR protocol (evaluation/evaluate_policy_singlestep.py:16-34):
-    one subtask per valid initial condition, scored by the task oracle.
-    ``count_success`` then yields the overall SR at index 0 and
-    ``per_task_breakdown`` the per-task table."""
+    """Truncate each chain to its first subtask — an APPROXIMATION of the
+    reference's single-step protocol usable without a dataset: same scoring
+    (oracle per task, ``count_success`` index 0 = overall SR,
+    ``per_task_breakdown`` the per-task table), but initial states are drawn
+    from the 1000-chain generator, not from recorded validation episodes.
+    Prefer ``dataset_singlestep_sequences`` when a validation split is on
+    disk — that one matches the reference's initial-state distribution."""
     return [(state, chain[:1]) for state, chain in sequences]
+
+
+def dataset_singlestep_sequences(val_dir, max_per_task: int = 8):
+    """The reference single-step protocol's initial-state distribution
+    (evaluate_policy_singlestep.py:22-41): per task, recorded validation
+    episodes where the oracle detected that task (the checkpoint's
+    task_to_id_dict role — rebuilt here by sliding the scene-obs oracle over
+    the validation split), each rolled out from the episode's recorded
+    (robot_obs, scene_obs). Returns (initial_state, (task,)) pairs consumable
+    by every evaluator (initial_states passes explicit states through)."""
+    from hulc2_tpu.data.episode_index import load_ep_start_end_ids
+    from hulc2_tpu.data.frame_store import NpzFrameStore
+    from hulc2_tpu.tools.auto_lang_annotator import detect_task_windows
+
+    val_dir = Path(val_dir)
+    ep_ids = load_ep_start_end_ids(val_dir, "validation")
+    store = NpzFrameStore(val_dir, ["scene_obs", "robot_obs"])
+    by_task: Dict[str, List[int]] = {}
+    for hit in detect_task_windows(store, ep_ids):
+        by_task.setdefault(hit["task"], []).append(int(hit["indx"][0]))
+    seqs = []
+    for task in sorted(by_task):
+        for start in by_task[task][:max_per_task]:
+            f = store.load_frame(start)
+            seqs.append((
+                {"robot_obs": np.asarray(f["robot_obs"], np.float64),
+                 "scene_obs": np.asarray(f["scene_obs"], np.float64)},
+                (task,),
+            ))
+    logger.info("single-step: %d jobs over %d tasks from %s",
+                len(seqs), len(by_task), val_dir)
+    return seqs
 
 
 def per_task_breakdown(results: Sequence[int], sequences) -> Dict[str, Dict[str, int]]:
@@ -128,3 +162,24 @@ def print_and_save(
     results_file.write_text(json.dumps(merged, indent=1))
     logger.info("Best model: epoch %s (avg_seq_len %.3f)", best, ranking[best])
     return merged
+
+
+def best_eval_model(results_file) -> str:
+    """Print the best epoch in a results.json by avg_seq_len (reference:
+    hulc2/affordance/scripts/get_best_eval_model.py:10-16)."""
+    data = json.loads(Path(results_file).read_text())
+    epochs = {k: v for k, v in data.items() if isinstance(v, dict) and "avg_seq_len" in v
+              and k != "best"}
+    best = max(epochs, key=lambda k: epochs[k]["avg_seq_len"])
+    print(best)
+    print(epochs[best]["avg_seq_len"])
+    print(epochs[best]["chain_sr"])
+    return best
+
+
+if __name__ == "__main__":
+    import argparse
+
+    p = argparse.ArgumentParser(description="pick the best epoch from a results.json")
+    p.add_argument("-f", "--file", required=True)
+    best_eval_model(p.parse_args().file)

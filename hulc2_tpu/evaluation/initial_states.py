@@ -49,6 +49,12 @@ def initial_condition_seed(initial_condition: Dict) -> int:
 
 
 def get_env_state_for_initial_condition(initial_condition: Dict) -> Tuple[np.ndarray, np.ndarray]:
+    if "robot_obs" in initial_condition:
+        # explicit recorded state (dataset-derived single-step protocol —
+        # reference evaluate_policy_singlestep.py:40 resets from the
+        # validation episode's state_info instead of a sampled condition)
+        return (np.asarray(initial_condition["robot_obs"], np.float64),
+                np.asarray(initial_condition["scene_obs"], np.float64))
     table = [s.copy() for s in BLOCK_TABLE_SLOTS]
     with temp_seed(initial_condition_seed(initial_condition)):
         np.random.shuffle(table)

@@ -45,6 +45,10 @@ def main(argv=None):
     p.add_argument("--cohorts", type=int, default=None)
     p.add_argument("--single-step", action="store_true")
     p.add_argument("--process-envs", action="store_true")
+    p.add_argument("--aff-lang-embeddings", default=None,
+                   help="forwarded: custom affordance embedding table")
+    p.add_argument("--heuristic-oracle", action="store_true",
+                   help="forwarded: pin the heuristic oracle per checkpoint")
     args = p.parse_args(argv)
 
     steps = args.checkpoints or list_checkpoints(args.train_dir)
@@ -72,6 +76,10 @@ def main(argv=None):
             cmd += ["--single-step"]
         if args.process_envs:
             cmd += ["--process-envs"]
+        if args.aff_lang_embeddings:
+            cmd += ["--aff-lang-embeddings", args.aff_lang_embeddings]
+        if args.heuristic_oracle:
+            cmd += ["--heuristic-oracle"]
         return cmd
 
     if args.workers <= 1:
