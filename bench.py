@@ -175,7 +175,14 @@ def main():
     # multiple of an estimated A100 number)
     flops_per_step = tflops_s = mfu_pct = None
     try:
-        ca = train_step.lower(state, raw_batch, key, kl_beta).compile().cost_analysis()
+        lowered = train_step.lower(state, raw_batch, key, kl_beta)
+        try:
+            # client-side analysis of the lowered module — no backend compile
+            # (the AOT .compile() path does NOT reuse the jit cache and would
+            # cost a second multi-minute compile on the axon backend)
+            ca = lowered.cost_analysis()
+        except Exception:
+            ca = lowered.compile().cost_analysis()
         if isinstance(ca, (list, tuple)):  # older jax returns [dict]
             ca = ca[0]
         flops_per_step = float(ca.get("flops", 0.0)) or None

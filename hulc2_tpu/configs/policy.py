@@ -372,6 +372,35 @@ for _n, _mods in (("vision_lang", {"vis": True, "lang": True}),
     register("datamodule/datasets", _n, dict(_mods))
     register("datamodule/datasets", _n + "_shm", dict(_mods))
 
+# datamodule/frame_skip — within-window temporal subsampling (the reference's
+# ShmDatasetSkip, hulc2/datasets/shm_dataset_skip.py; selected upstream by
+# overriding the dataset _target_). Effective windows default to half the raw
+# 20-32 range (the class docstring's "half of original window size").
+# `datamodule/frame_skip=none` (the built-in null option) switches it off.
+register(
+    "datamodule/frame_skip",
+    "random",
+    {
+        "strategy": "random",
+        "effective_min_ws": 10,
+        "effective_max_ws": 16,
+        "min_skip_ratio": 0.0,
+        "max_skip_ratio": 0.3,
+    },
+)
+register(
+    "datamodule/frame_skip",
+    "diff",
+    {
+        "strategy": "diff",
+        "effective_min_ws": 10,
+        "effective_max_ws": 16,
+        "pos_threshold": 0.99,
+        "orn_threshold": 0.08,
+        "min_skip_ratio": 0.0,
+    },
+)
+
 register(
     "datamodule",
     "calvin_default",
@@ -385,6 +414,7 @@ register(
         "min_window_size": 20,
         "max_window_size": 32,
         "skip_frames": 1,
+        "frame_skip": None,
         "pad": True,
         "lang_folder": "lang_annotations",
         "aux_lang_loss_window": 8,
@@ -528,6 +558,7 @@ register(
         "min_window_size": 20,
         "max_window_size": 32,
         "skip_frames": 1,
+        "frame_skip": None,
         "pad": True,
         "lang_folder": "lang_paraphrase-MiniLM-L3-v2",
         "aux_lang_loss_window": 8,

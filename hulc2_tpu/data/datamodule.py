@@ -13,6 +13,7 @@ from pathlib import Path
 from typing import Dict, Iterator, Optional
 
 from hulc2_tpu.data import episode_index as ei
+from hulc2_tpu.data.frame_skip import make_frame_skip
 from hulc2_tpu.data.frame_store import NpzFrameStore, RamFrameStore
 from hulc2_tpu.data.loader import BatchLoader, zip_modalities
 from hulc2_tpu.data.random_data import RandomWindowDataset
@@ -73,9 +74,13 @@ class Hulc2DataModule:
                     self.cfg.get("data_percent", 1.0), self.cfg.get("aux_lang_loss_window", 8),
                     self.cfg.get("load_lang_embeddings", True),
                 )
+            # within-window temporal subsampling (reference ShmDatasetSkip);
+            # applied to both splits so train/val window shapes stay identical
+            fskip = make_frame_skip(self.cfg.get("frame_skip"))
             for key, index in indices.items():
                 self.datasets[f"{key}_{split}"] = WindowDataset(
-                    index, store, obs, pad=self.cfg.get("pad", True), seed=self.seed
+                    index, store, obs, pad=self.cfg.get("pad", True), seed=self.seed,
+                    frame_skip=fskip,
                 )
         logger.info(
             "datamodule: %s",

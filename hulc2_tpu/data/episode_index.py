@@ -141,7 +141,8 @@ def build_vision_index(
     skip_frames: int = 1,
 ) -> EpisodeIndex:
     """``skip_frames > 1`` keeps every k-th window start (the reference's
-    ShmDatasetSkip role, hulc2/datasets/shm_dataset_skip.py:21)."""
+    ``skip_frames`` dataset arg; within-window temporal subsampling — the
+    ShmDatasetSkip role — lives in data/frame_skip.py instead)."""
     ep_ids = apply_data_percent(load_ep_start_end_ids(data_dir, split), data_percent if split == "training" else 1.0)
     lookup = []
     for start, end in ep_ids:

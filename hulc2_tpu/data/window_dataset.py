@@ -46,6 +46,7 @@ class WindowDataset:
         observation_space: dict,
         pad: bool = True,
         seed: int = 0,
+        frame_skip=None,  # Optional[frame_skip.FrameSkip]
     ):
         self.index = index
         self.store = store
@@ -56,6 +57,23 @@ class WindowDataset:
         self.action_key = observation_space["actions"][0]
         self.seed = seed
         self.rng = np.random.default_rng(seed)
+        self.frame_skip = frame_skip
+        if frame_skip is not None and frame_skip.strategy == "diff" and not self.relative_actions:
+            raise ValueError("frame_skip strategy 'diff' requires rel_actions")
+        # windows pad to the effective max when skipping (the reference's
+        # ShmDatasetSkip.get_pad_size, shm_dataset_skip.py:59-66)
+        self.padded_size = (
+            frame_skip.effective_max_ws if frame_skip is not None else index.max_window_size
+        )
+
+    def _apply_skip(self, ep: Dict[str, np.ndarray], rng) -> Dict[str, np.ndarray]:
+        """Subsample every per-frame array of the raw window down to the
+        effective window (shm_dataset_skip.py:157-171)."""
+        ids = self.frame_skip.keep_ids(
+            np.asarray(ep[self.action_key], np.float32),
+            self.index.min_window_size, self.index.max_window_size, rng,
+        )
+        return {k: v[ids] for k, v in ep.items()}
 
     def __len__(self) -> int:
         return len(self.index)
@@ -64,7 +82,10 @@ class WindowDataset:
         window_size = self.index.window_size(idx, self.rng)
         start = int(self.index.episode_lookup[idx])
         ep = self.store.load_window(start, window_size)
-        pad = (self.index.max_window_size - window_size) if self.pad else 0
+        if self.frame_skip is not None:
+            ep = self._apply_skip(ep, self.rng)
+            window_size = len(ep[self.action_key])
+        pad = (self.padded_size - window_size) if self.pad else 0
 
         out: Dict[str, np.ndarray] = {}
         for cam in self.obs_space["rgb_obs"]:
@@ -99,7 +120,7 @@ class WindowDataset:
         """(shape, dtype) of preallocated fused-batch buffers for this
         dataset's keys (images uint8 — conversion to float happens on
         device)."""
-        s = self.index.max_window_size
+        s = self.padded_size
         probe = self.store.load_window(int(self.index.episode_lookup[0]), 1)
         specs: Dict[str, tuple] = {}
         for cam in self.obs_space["rgb_obs"]:
@@ -126,6 +147,9 @@ class WindowDataset:
         ws = self.index.window_size(idx, rng)
         start = int(self.index.episode_lookup[idx])
         ep = self.store.load_window(start, ws)
+        if self.frame_skip is not None:
+            ep = self._apply_skip(ep, rng)
+            ws = len(ep[self.action_key])
 
         for cam in self.obs_space["rgb_obs"]:
             dst = out[cam][row]
