@@ -174,23 +174,28 @@ def main():
     # (VERDICT r2 #5: defend "fast" as a fraction of v5e bf16 peak, not as a
     # multiple of an estimated A100 number)
     flops_per_step = tflops_s = mfu_pct = None
+    flops_source = None
     try:
-        lowered = train_step.lower(state, raw_batch, key, kl_beta)
-        try:
-            # client-side analysis of the lowered module — no backend compile
-            # (the AOT .compile() path does NOT reuse the jit cache and would
-            # cost a second multi-minute compile on the axon backend)
-            ca = lowered.cost_analysis()
-        except Exception:
-            ca = lowered.compile().cost_analysis()
+        # client-side analysis of the lowered module — no backend compile
+        # (the AOT .compile() path does NOT reuse the jit cache and would
+        # cost a second multi-minute compile on the axon backend)
+        ca = train_step.lower(state, raw_batch, key, kl_beta).cost_analysis()
         if isinstance(ca, (list, tuple)):  # older jax returns [dict]
             ca = ca[0]
-        flops_per_step = float(ca.get("flops", 0.0)) or None
-        if flops_per_step:
-            tflops_s = flops_per_step / (dt / iters) / 1e12
-            mfu_pct = 100.0 * tflops_s / V5E_BF16_PEAK_TFLOPS
+        if ca:  # returns None on both the axon IFRT backend and the CPU client
+            flops_per_step = float(ca.get("flops", 0.0)) or None
+            flops_source = "lowered.cost_analysis"
     except Exception as e:  # cost_analysis is backend-dependent; never fatal
         print(f"# cost_analysis unavailable: {e}", file=sys.stderr)
+    if flops_per_step is None:
+        # FLOPs are a property of the program+shapes, not the backend: compile
+        # the identical step on CPU in a subprocess (~50 s on this host) and
+        # read the compiled module's cost analysis (tools/flops_probe.py)
+        flops_per_step = _flops_probe_cpu(b)
+        flops_source = "cpu-subprocess compiled cost_analysis" if flops_per_step else None
+    if flops_per_step:
+        tflops_s = flops_per_step / (dt / iters) / 1e12
+        mfu_pct = 100.0 * tflops_s / V5E_BF16_PEAK_TFLOPS
 
     # ---- end-to-end: real input pipeline feeding the same train step ----
     loader_sps, loader_desc, loader_extras = None, "skipped", {}
@@ -207,6 +212,7 @@ def main():
         "loader_fed_samples_per_sec": round(loader_sps, 2) if loader_sps else None,
         "host_cpus": os.cpu_count(),
         "flops_per_step": flops_per_step,
+        "flops_source": flops_source,
         "achieved_tflops_per_s": round(tflops_s, 2) if tflops_s else None,
         "mfu_pct_v5e_bf16_peak": round(mfu_pct, 2) if mfu_pct else None,
         **loader_extras,
@@ -221,6 +227,24 @@ def main():
         + f"loader-fed {'%.1f samples/s' % loader_sps if loader_sps else 'skipped'}",
         file=sys.stderr,
     )
+
+
+def _flops_probe_cpu(batch_size, timeout_s: int = 420):
+    """FLOPs/step from a CPU-subprocess compile of the identical train step
+    (tools/flops_probe.py). Returns float or None on failure/timeout."""
+    try:
+        out = subprocess.run(
+            [sys.executable, "-m", "hulc2_tpu.tools.flops_probe",
+             "--batch", str(batch_size), "--platform", "cpu"],
+            capture_output=True, text=True, timeout=timeout_s,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        for line in out.stdout.splitlines():
+            if line.startswith("{"):
+                return float(json.loads(line)["flops"]) or None
+    except Exception as e:
+        print(f"# flops_probe failed: {e}", file=sys.stderr)
+    return None
 
 
 def _loader_fed_throughput(cfg, train_step, state, key, kl_beta, b, iters):
