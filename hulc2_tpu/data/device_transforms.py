@@ -62,6 +62,39 @@ TRANSFORM_PRESETS = {
             ],
         },
     },
+    # reduced-resolution variant of rand_shift for the interactive fake-env
+    # protocol (static 96 / gripper 64): same pipeline, ~4x less H2D per
+    # frame — sized for the tunneled dev chip's transfer budget. Keep
+    # train/eval on the SAME preset (the agent builds its transform from the
+    # run's datamodule config).
+    "rand_shift_96": {
+        "train": {
+            "rgb_static": [
+                {"op": "resize", "size": 96},
+                {"op": "random_shift", "pad": 4},
+                {"op": "scale_normalize", "mean": [0.5], "std": [0.5]},
+            ],
+            "rgb_gripper": [
+                {"op": "resize", "size": 64},
+                {"op": "random_shift", "pad": 3},
+                {"op": "scale_normalize", "mean": [0.5], "std": [0.5]},
+            ],
+            "depth_static": [{"op": "resize", "size": 96}, {"op": "depth_noise"}],
+            "depth_gripper": [{"op": "resize", "size": 64}, {"op": "gaussian_noise", "std": 0.01}],
+        },
+        "val": {
+            "rgb_static": [
+                {"op": "resize", "size": 96},
+                {"op": "scale_normalize", "mean": [0.5], "std": [0.5]},
+            ],
+            "rgb_gripper": [
+                {"op": "resize", "size": 64},
+                {"op": "scale_normalize", "mean": [0.5], "std": [0.5]},
+            ],
+            "depth_static": [{"op": "resize", "size": 96}],
+            "depth_gripper": [{"op": "resize", "size": 64}],
+        },
+    },
     # real-robot TACO presets (reference: conf/datamodule/transforms/real_world.yaml,
     # real_world_r3m.yaml): color jitter instead of static-cam shifts; the r3m
     # variant keeps static pixels in [0, 255] (R3M normalizes internally)

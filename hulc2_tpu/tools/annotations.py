@@ -20,7 +20,7 @@ def _block_phrases(verb: str, color: str, direction: str = None) -> List[str]:
     if verb == "rotate":
         return [
             f"rotate {obj} to the {direction}",
-            f"turn {obj} {direction}",
+            f"turn {obj} a little {direction}",
             f"spin {obj} towards the {direction}",
             f"rotate {obj} {direction}",
             f"grab {obj} and turn it to the {direction}",
@@ -57,7 +57,7 @@ def build_annotation_bank() -> Dict[str, List[str]]:
             for d in ("right", "left"):
                 bank[f"{verb}_{c}_block_{d}"] = _block_phrases(verb, c, d)
     bank["move_slider_left"] = ["move the sliding door to the left", "push the slider left",
-                                "slide the door to the left side", "grab the slider and move it left",
+                                "slide the cabinet door over to the left side", "grab the slider and move it left",
                                 "push the sliding door towards the left", "shift the cabinet door left",
                                 "move the slider over to the left", "slide the cabinet door leftwards",
                                 "grab the handle and slide the door left",
@@ -65,14 +65,14 @@ def build_annotation_bank() -> Dict[str, List[str]]:
                                 "drag the sliding panel to the left",
                                 "shift the sliding door all the way left"]
     bank["move_slider_right"] = ["move the sliding door to the right", "push the slider right",
-                                 "slide the door to the right side", "grab the slider and move it right",
+                                 "slide the cabinet door over to the right side", "grab the slider and move it right",
                                  "push the sliding door towards the right", "shift the cabinet door right",
                                  "move the slider over to the right", "slide the cabinet door rightwards",
                                  "grab the handle and slide the door right",
                                  "push the shelf door to the right",
                                  "drag the sliding panel to the right",
                                  "shift the sliding door all the way right"]
-    bank["open_drawer"] = ["open the drawer", "pull the drawer open", "pull the handle of the drawer",
+    bank["open_drawer"] = ["open the drawer", "pull the drawer open", "tug on the drawer handle to open it",
                            "grasp the handle and open the drawer", "slide the drawer out",
                            "pull open the drawer below the table",
                            "pull out the drawer", "tug the drawer open",
@@ -90,7 +90,7 @@ def build_annotation_bank() -> Dict[str, List[str]]:
                             "press the drawer back into the table"]
     for c in COLORS:
         bank[f"lift_{c}_block_table"] = [
-            f"pick up the {c} block from the table",
+            f"pick the {c} block up from the tabletop",
             f"lift the {c} block off the table",
             f"grab the {c} block on the table",
             f"lift up the {c} block",
@@ -104,7 +104,7 @@ def build_annotation_bank() -> Dict[str, List[str]]:
             f"grab hold of the {c} block and pick it up",
         ]
         bank[f"lift_{c}_block_slider"] = [
-            f"pick up the {c} block from the shelf",
+            f"grab the {c} block off the shelf",
             f"take the {c} block out of the slider",
             f"grab the {c} block from the sliding cabinet",
             f"lift the {c} block in the slider",
@@ -118,9 +118,9 @@ def build_annotation_bank() -> Dict[str, List[str]]:
             f"collect the {c} block from the shelf",
         ]
         bank[f"lift_{c}_block_drawer"] = [
-            f"pick up the {c} block from the drawer",
+            f"pick the {c} block up from inside the drawer",
             f"take the {c} block out of the drawer",
-            f"lift the {c} block lying in the drawer",
+            f"raise the {c} block resting in the drawer",
             f"grasp the {c} block in the drawer and lift it out",
             f"fetch the {c} block from inside the drawer",
             f"reach into the drawer and pick up the {c} block",
@@ -131,7 +131,7 @@ def build_annotation_bank() -> Dict[str, List[str]]:
             f"retrieve the {c} block from the drawer",
             f"collect the {c} block lying in the drawer",
         ]
-    bank["place_in_slider"] = ["put the block in the slider", "store the block in the sliding cabinet",
+    bank["place_in_slider"] = ["put the block into the sliding cabinet", "store the block in the sliding cabinet",
                                "place the grasped block on the shelf",
                                "set the block down inside the slider",
                                "put the block you are holding into the cabinet",
@@ -142,7 +142,7 @@ def build_annotation_bank() -> Dict[str, List[str]]:
                                "deposit the block on the cabinet shelf",
                                "set the block you are carrying into the slider",
                                "stow the block in the sliding compartment"]
-    bank["place_in_drawer"] = ["put the block in the drawer", "store the block in the drawer",
+    bank["place_in_drawer"] = ["put the block away in the drawer", "stash the block in the drawer",
                                "drop the grasped block into the drawer",
                                "set the block down inside the drawer",
                                "put the block you are holding into the drawer",
@@ -153,8 +153,8 @@ def build_annotation_bank() -> Dict[str, List[str]]:
                                "lower the block into the drawer",
                                "stow the block inside the drawer",
                                "let the block down into the drawer"]
-    bank["stack_block"] = ["stack the block on top of another block", "place the block on another block",
-                           "put the grasped block on top of a block",
+    bank["stack_block"] = ["set the block down on top of another block", "place the block on another block",
+                           "put the held block on top of one of the blocks",
                            "set the block you hold onto another block",
                            "stack the blocks", "build a tower with the blocks",
                            "place one block on top of the other",
@@ -163,7 +163,7 @@ def build_annotation_bank() -> Dict[str, List[str]]:
                            "put the block down on another block",
                            "stack the grasped block onto one of the others",
                            "make a stack out of the blocks"]
-    bank["unstack_block"] = ["take off the stacked block", "remove the block from the stack",
+    bank["unstack_block"] = ["take the top block off the stack", "remove the block from the stack",
                              "unstack the blocks", "lift the top block off the tower",
                              "collapse the stack by removing the upper block",
                              "take the block sitting on top of the other one",
@@ -194,7 +194,7 @@ def build_annotation_bank() -> Dict[str, List[str]]:
                                   "use the switch to turn the bulb off",
                                   "put out the light bulb"]
     bank["turn_on_led"] = ["turn on the led", "press the button to switch on the led",
-                           "push the button to turn on the green light",
+                           "press the button so the green light comes on",
                            "tap the button so the led lights up",
                            "hit the button to light the led", "switch the led on",
                            "press down the button and turn the led on",
@@ -204,7 +204,7 @@ def build_annotation_bank() -> Dict[str, List[str]]:
                            "make the led light up",
                            "press the button until the led is on"]
     bank["turn_off_led"] = ["turn off the led", "press the button to switch off the led",
-                            "push the button to turn off the green light",
+                            "press the button so the green light goes off",
                             "tap the button so the led goes dark",
                             "hit the button to kill the led", "switch the led off",
                             "press down the button and turn the led off",

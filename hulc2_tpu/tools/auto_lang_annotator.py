@@ -59,6 +59,7 @@ def annotate_dataset(
     embed_fn: Optional[Callable[[List[str]], np.ndarray]] = None,
     seed: int = 0,
     with_embeddings_lookup: bool = True,
+    canonical: bool = False,
 ) -> dict:
     """Write <data_dir>/<lang_folder>/auto_lang_ann.npy (+ embeddings.npy)."""
     data_dir = Path(data_dir)
@@ -71,8 +72,13 @@ def annotate_dataset(
     rng = np.random.default_rng(seed)
     # Validation split: one fixed phrasing per task (reference binds the
     # new_playtable_validation bank for the val split, conf/lang_ann.yaml:10);
-    # training split samples from the full paraphrase bank.
-    anns = [sample_annotation(h["task"], rng, validation=split == "validation") for h in hits]
+    # training split samples from the full paraphrase bank. ``canonical``
+    # forces the fixed phrasing everywhere — required when embeddings are
+    # hash stubs (paraphrases then share no structure, so training must see
+    # the exact vectors evaluation will use).
+    anns = [sample_annotation(h["task"], rng,
+                              validation=canonical or split == "validation")
+            for h in hits]
     tasks = [h["task"] for h in hits]
     if embed_fn is None:  # deterministic hash-based stub embedding (384-d)
         require_stub_embeddings_ok("auto_lang_annotator")

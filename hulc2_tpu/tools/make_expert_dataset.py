@@ -84,6 +84,7 @@ def make_expert_dataset(
     seed: int = 0,
     lang_window: int = 64,
     lang_stride: int = 8,
+    canonical_lang: bool = True,
 ) -> Path:
     """Write the dataset; returns the root path. Idempotent per split."""
     from hulc2_tpu.envs.fake_env import FakeCalvinEnv
@@ -151,9 +152,12 @@ def make_expert_dataset(
         # language annotations from oracle-detected windows; the deterministic
         # hash embedding is used for BOTH training and evaluation goals, so
         # language conditioning is consistent (a distinct reproducible vector
-        # per sentence — task identity, not semantics; see docs note)
+        # per sentence — task identity, not semantics; see docs note).
+        # canonical_lang pins ONE phrasing per task so the exact eval vectors
+        # appear in training (hash paraphrases share no structure).
         annotate_dataset(d, window=lang_window, stride=lang_stride,
-                         embed_fn=hash_embed, seed=split_seed)
+                         embed_fn=hash_embed, seed=split_seed,
+                         canonical=canonical_lang)
     return root
 
 
@@ -171,11 +175,16 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--lang-window", type=int, default=64)
     p.add_argument("--lang-stride", type=int, default=8)
+    p.add_argument("--paraphrase-lang", action="store_true",
+                   help="sample paraphrases from the full annotation bank "
+                        "instead of one canonical phrasing per task (use with "
+                        "a REAL language model, not hash embeddings)")
     a = p.parse_args(argv)
     make_expert_dataset(a.root, a.episodes, a.tasks_per_episode, a.val_episodes,
                         a.val_tasks_per_episode, a.static_hw, a.gripper_hw,
                         a.noise, seed=a.seed, lang_window=a.lang_window,
-                        lang_stride=a.lang_stride)
+                        lang_stride=a.lang_stride,
+                        canonical_lang=not a.paraphrase_lang)
 
 
 if __name__ == "__main__":
