@@ -67,15 +67,57 @@ def _backend_available(timeout_s: int = 180) -> bool:
         return False
 
 
+def _backend_available_with_retries() -> bool:
+    """Ride out short backend outages (VERDICT r3 #4): probe up to
+    BENCH_PROBE_RETRIES times (default 4) with BENCH_PROBE_WAIT_S between
+    attempts (default 150 s) — ~10 minutes of patience before the skip, vs
+    the single immediate give-up that produced two evidence-free rounds."""
+    retries = int(os.environ.get("BENCH_PROBE_RETRIES", "4"))
+    wait_s = float(os.environ.get("BENCH_PROBE_WAIT_S", "150"))
+    for attempt in range(retries):
+        if _backend_available():
+            return True
+        if attempt < retries - 1:
+            print(f"# backend probe {attempt + 1}/{retries} failed; retrying in "
+                  f"{wait_s:.0f} s", file=sys.stderr)
+            time.sleep(wait_s)
+    return False
+
+
+def _cpu_measurable_fields() -> dict:
+    """Host-side numbers that do not need the TPU, so an outage round is
+    never evidence-free (VERDICT r3 #4): clean-process loader assembly rate
+    on the standard bench dataset."""
+    fields = {"host_cpus": os.cpu_count()}
+    try:
+        from hulc2_tpu.tools.make_synthetic_dataset import make_synthetic_calvin
+
+        root = os.environ.get("BENCH_DATA_DIR", "/tmp/hulc2_bench_calvin")
+        make_synthetic_calvin(root, episodes=2, frames_per_episode=600,
+                              val_episodes=1, val_frames=120, n_lang=1200)
+        ms = _clean_host_assembly_ms(root, num_threads=8, batch_size=32)
+        if ms:
+            fields["host_assembly_ms_clean_process"] = round(ms, 1)
+            # 64 samples per fused 32+32 batch, one host core on this harness
+            fields["loader_samples_per_sec_per_core"] = round(64 / (ms / 1000)
+                                                              / max(os.cpu_count(), 1), 1)
+    except Exception as e:  # never let the skip path crash
+        print(f"# cpu-measurable probe failed: {e}", file=sys.stderr)
+    return fields
+
+
 def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
-    if os.environ.get("BENCH_SKIP_PROBE", "") != "1" and not _backend_available():
+    if os.environ.get("BENCH_SKIP_PROBE", "") != "1" and not _backend_available_with_retries():
         # structured skip (rc 0): the driver's BENCH capture stays parseable
-        # through a backend outage instead of recording a raw traceback
+        # through a backend outage instead of recording a raw traceback —
+        # and still carries the CPU-measurable loader numbers
         print(json.dumps({
             "metric": "train_samples_per_sec_per_chip",
             "value": None, "unit": "samples/s", "vs_baseline": None,
-            "skipped": True, "reason": "tpu backend unavailable (probe timed out)",
+            "skipped": True,
+            "reason": "tpu backend unavailable (probe retries exhausted)",
+            **_cpu_measurable_fields(),
         }))
         return
     import jax
@@ -204,6 +246,14 @@ def main():
             cfg, train_step, state, key, kl_beta, b, iters
         )
 
+    # ---- affordance model (BASELINE config #2; VERDICT r3 #5) ----
+    aff_extras = {}
+    if os.environ.get("BENCH_SKIP_AFF", "") != "1" and os.environ.get("BENCH_DEVICE_ONLY", "") != "1":
+        try:
+            aff_extras = _affordance_bench(iters)
+        except Exception as e:  # never fail the headline metric on the aux bench
+            print(f"# affordance bench failed: {e}", file=sys.stderr)
+
     result = {
         "metric": "train_samples_per_sec_per_chip",
         "value": round(device_sps, 2),
@@ -216,6 +266,7 @@ def main():
         "achieved_tflops_per_s": round(tflops_s, 2) if tflops_s else None,
         "mfu_pct_v5e_bf16_peak": round(mfu_pct, 2) if mfu_pct else None,
         **loader_extras,
+        **aff_extras,
         "loader": loader_desc,
     }
     print(json.dumps(result))
@@ -227,6 +278,81 @@ def main():
         + f"loader-fed {'%.1f samples/s' % loader_sps if loader_sps else 'skipped'}",
         file=sys.stderr,
     )
+
+
+def _affordance_bench(iters: int = 20) -> dict:
+    """Affordance-model numbers (VERDICT r3 Missing #3): full-size train-step
+    throughput and jitted ``predict_batch`` latency at the hierarchical
+    evaluator's dispatch sizes K=16/64 (reference trains it as a first-class
+    model: hulc2/affordance/train_affordance.py:24,
+    pixel_aff_lang_detector.py:172)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import hulc2_tpu.configs  # noqa: F401
+    import hulc2_tpu.configs.affordance  # noqa: F401
+    from hulc2_tpu.affordance.depth_heads import DepthNorm
+    from hulc2_tpu.affordance.detector import AffordancePredictor
+    from hulc2_tpu.affordance.train_affordance import (
+        build_detector,
+        make_aff_train_step,
+    )
+    from hulc2_tpu.core import config as cfg_lib
+    from hulc2_tpu.train import optim
+
+    cfg = cfg_lib.compose("train_affordance")
+    aff_cfg = cfg["aff_detection"]
+    img_hw = aff_cfg["dataset"]["img_resize"][aff_cfg["dataset"]["cam"]]
+    b = int(cfg["batch_size"])
+    lang_dim = aff_cfg["lang_embed_dim"]
+    rng = np.random.RandomState(0)
+
+    model = build_detector(aff_cfg)
+    tx = optim.make_optimizer(aff_cfg["optimizer"])
+    batch = {
+        "frame": jnp.asarray(rng.randint(0, 256, (b, 200, 200, 3)), jnp.uint8),
+        "lang": jnp.asarray(rng.randn(b, lang_dim), jnp.float32),
+        "px": jnp.asarray(rng.randint(0, img_hw, (b, 2)), jnp.int32),
+        "normalized_depth": jnp.asarray(rng.randn(b), jnp.float32),
+    }
+    key = jax.random.PRNGKey(0)
+    variables = jax.jit(lambda r, i, l: model.init(r, i, l, False))(
+        key, jnp.zeros((1, img_hw, img_hw, 3), jnp.float32), batch["lang"][:1])
+    params, batch_stats = variables["params"], variables.get("batch_stats", {})
+    opt_state = tx.init(params)
+    step = make_aff_train_step(model, tx, aff_cfg["loss_weights"], img_hw,
+                               cfg["rand_shift_pad"],
+                               aff_cfg["dataset"].get("label_type", "pixel"))
+    for _ in range(3):  # compile + settle
+        params, batch_stats, opt_state, metrics = step(params, batch_stats, opt_state, batch, key)
+    float(metrics["total_loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        params, batch_stats, opt_state, metrics = step(params, batch_stats, opt_state, batch, key)
+    float(metrics["total_loss"])  # host fetch — honest timing on the axon tunnel
+    dt = time.perf_counter() - t0
+
+    out = {
+        "aff_train_samples_per_sec": round(b * iters / dt, 1),
+        "aff_train_step_ms": round(dt / iters * 1000, 2),
+        "aff_train_batch": b,
+    }
+
+    # input_hw must be the model's train resolution (the U-Net skip shapes
+    # are baked in); predict_batch resizes raw 200px env frames to it
+    predictor = AffordancePredictor(model, {"params": params, "batch_stats": batch_stats},
+                                    DepthNorm(), input_hw=(img_hw, img_hw))
+    for k in (16, 64):
+        imgs = [rng.randint(0, 256, (200, 200, 3)).astype(np.uint8) for _ in range(k)]
+        langs = [rng.randn(lang_dim).astype(np.float32) for _ in range(k)]
+        predictor.predict_batch(imgs, langs)  # compile
+        t0 = time.perf_counter()
+        reps = 5
+        for _ in range(reps):
+            predictor.predict_batch(imgs, langs)  # returns host values (fetch included)
+        out[f"aff_predict_ms_k{k}"] = round((time.perf_counter() - t0) / reps * 1000, 2)
+    return out
 
 
 def _flops_probe_cpu(batch_size, timeout_s: int = 420):

@@ -421,6 +421,7 @@ register(
         "data_percent": 1.0,
         "load_lang_embeddings": True,
         "num_workers": 8,
+        "device_store": False,
         "shuffle_val": False,
         "observation_space": {
             "rgb_obs": ["rgb_static", "rgb_gripper"],
@@ -565,6 +566,7 @@ register(
         "data_percent": 1.0,
         "load_lang_embeddings": True,
         "num_workers": 8,
+        "device_store": False,
         "shuffle_val": False,
         "observation_space": {
             "rgb_obs": ["rgb_static", "rgb_gripper"],

@@ -50,13 +50,17 @@ class Hulc2DataModule:
         )
         if "robot_obs" not in frame_keys:
             frame_keys.append("robot_obs")
+        device_store = bool(self.cfg.get("device_store", False))
         for split in ("training", "validation"):
             split_dir = self.root / split
             self.stats[split] = load_statistics(split_dir)
             npz = NpzFrameStore(split_dir, frame_keys)
-            if self.use_shm_cache:
+            if self.use_shm_cache or (device_store and split == "training"):
+                # the device-store gather plans small keys from the RAM
+                # cache's flat arrays (data/device_store.py), so the training
+                # split is RAM-cached even without --shm-cache
                 ep_ids = ei.load_ep_start_end_ids(split_dir, split)
-                store = RamFrameStore(npz, ep_ids, frame_keys, use_shm=True)
+                store = RamFrameStore(npz, ep_ids, frame_keys, use_shm=self.use_shm_cache)
             else:
                 store = npz
             self._stores[split] = store
@@ -124,6 +128,31 @@ class Hulc2DataModule:
 
         if len(self.modalities) == 1:  # nothing to fuse: single-modality dicts
             return self.train_iter()
+        if self.cfg.get("device_store", False):
+            if not hasattr(self, "_device_loader"):
+                from hulc2_tpu.data.device_store import (
+                    DeviceFrameStore,
+                    DeviceGatherFusedLoader,
+                )
+
+                obs = self.cfg["observation_space"]
+                dev = DeviceFrameStore(
+                    self._stores["training"],
+                    list(obs["rgb_obs"]) + list(obs["depth_obs"]),
+                )
+                logger.info(
+                    "device frame store: %.2f GiB resident", dev.nbytes / 2**30
+                )
+                self._device_loader = DeviceGatherFusedLoader(
+                    self.datasets["vis_training"],
+                    self.datasets["lang_training"],
+                    dev,
+                    self.cfg.get("batch_size_vis", self.cfg.get("batch_size", 32)),
+                    self.cfg.get("batch_size_lang", self.cfg.get("batch_size", 32)),
+                    shuffle=True,
+                    seed=self.seed,
+                )
+            return self._device_loader
         if not hasattr(self, "_fused_loader"):
             self._fused_loader = FusedBatchLoader(
                 self.datasets["vis_training"],

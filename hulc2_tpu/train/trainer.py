@@ -153,7 +153,13 @@ class Trainer:
                 stream = fuse_modalities_host(self.dm.train_iter())
             it = DevicePrefetcher(stream, batch_sharding)
             last_metrics = {}
+            limit_train = cfg.get("trainer", {}).get("limit_train_batches")
+            epoch_batches = 0
             for raw_batch in it:
+                if limit_train and epoch_batches >= limit_train:
+                    it.close()
+                    break
+                epoch_batches += 1
                 state, metrics = train_step(state, raw_batch, root_key, kl_beta)
                 total_steps += 1
                 n_samples += (
@@ -178,7 +184,9 @@ class Trainer:
 
             # ---- validation (skipped after a preemption signal: the
             # timeout-resubmit contract wants the checkpoint NOW) ----
-            val_metrics = {} if self._preempted else self.validate(state.params, val_step, root_key)
+            val_metrics = {} if self._preempted else self.validate(
+                state.params, val_step, root_key,
+                max_batches=cfg.get("trainer", {}).get("limit_val_batches"))
             if val_metrics:
                 mlog.log(val_metrics, int(state.step), prefix="val/")
 
