@@ -72,6 +72,7 @@ def mine_labels(
     lang_window: int = 32,
     env=None,
     seed: int = 0,
+    canonical_lang: bool = False,
 ) -> Dict:
     """Produce labeled static-cam frames for one split."""
     data_dir, out_dir = Path(data_dir), Path(out_dir)
@@ -99,7 +100,14 @@ def mine_labels(
                 {"scene_obs": frames[t_end]["scene_obs"]},
                 TASK_NAMES,
             )
-            lang_ann = sample_annotation(sorted(done)[0], rng) if done else ""
+            # canonical_lang pins each task to its single validation-bank
+            # phrasing — required when downstream embeddings are hash-based
+            # (paraphrases would hash to unrelated vectors, so the eval-time
+            # canonical sentence would be out-of-distribution)
+            lang_ann = (
+                sample_annotation(sorted(done)[0], rng, validation=canonical_lang)
+                if done else ""
+            )
             # back-project into past static frames
             for k in range(max(t - hist_frames, 0), t):
                 fk = frames[k]
@@ -158,6 +166,8 @@ def main(argv=None):
     p.add_argument("data_dir", help="play dataset root (training/ + validation/)")
     p.add_argument("--out-dir", required=True)
     p.add_argument("--cam-params", default=None, help="json with width,height,fx,fy,cx,cy,T_world_cam")
+    p.add_argument("--canonical-lang", action="store_true",
+                   help="pin labels to each task's canonical phrasing (hash-embedding runs)")
     args = p.parse_args(argv)
     if args.cam_params:
         cam = PinholeCamera.from_params(**json.loads(Path(args.cam_params).read_text()))
@@ -167,7 +177,8 @@ def main(argv=None):
     mined = {}
     for split in ("training", "validation"):
         if (Path(args.data_dir) / split).is_dir():
-            mined[split] = mine_labels(Path(args.data_dir) / split, args.out_dir, cam, split)
+            mined[split] = mine_labels(Path(args.data_dir) / split, args.out_dir, cam, split,
+                                       canonical_lang=args.canonical_lang)
     create_split_file(args.out_dir, mined)
 
 

@@ -140,11 +140,25 @@ def train(overrides=(), max_epochs: Optional[int] = None, max_steps: Optional[in
         }
         depth_norm = DepthNorm()
     else:
+        # mined frames store annotation STRINGS; the training batch needs a
+        # fixed-size "lang" vector. Without an external language tower in
+        # this environment the deterministic hash embedding is the (gated)
+        # stand-in — the same table the policy-side annotator used, so
+        # train-time and eval-time vectors for a sentence agree.
+        from hulc2_tpu.tools.auto_lang_annotator import (
+            hash_embed,
+            require_stub_embeddings_ok,
+        )
+
+        require_stub_embeddings_ok("train_affordance")
+        dim = aff_cfg["lang_embed_dim"]
+        embedder = lambda s: hash_embed([s], dim)[0]  # noqa: E731
         datasets = {
             s: AffordanceDataset(
                 aff_cfg["dataset"]["data_dir"], s, aff_cfg["dataset"]["cam"], img_hw,
                 aff_cfg["dataset"].get("data_percent", 1.0),
                 label_type=label_type,
+                lang_embedder=embedder,
             )
             for s in ("training", "validation")
         }

