@@ -30,6 +30,12 @@ from hulc2_tpu.evaluation.tasks import COLORS
 Op = Tuple
 
 
+class InfeasibleTask(RuntimeError):
+    """Plan-time: the physical scene does not support the task (e.g.
+    unstack with nothing stacked). ``solve`` treats it as a clean failure so
+    one infeasible draw never kills a whole dataset-generation run."""
+
+
 class ScriptedExpert:
     def __init__(self, env, rng: Optional[np.random.Generator] = None,
                  noise: float = 0.0):
@@ -44,13 +50,16 @@ class ScriptedExpert:
         ``recorder(obs, action, info)`` is called after every env step."""
         start_info = self.env.get_info()
         n = 0
-        for a in self.actions(task):
-            obs, _, _, info = self.env.step(a)
-            if recorder is not None:
-                recorder(obs, a, info)
-            n += 1
-            if n >= max_steps:
-                break
+        try:
+            for a in self.actions(task):
+                obs, _, _, info = self.env.step(a)
+                if recorder is not None:
+                    recorder(obs, a, info)
+                n += 1
+                if n >= max_steps:
+                    break
+        except InfeasibleTask:
+            return False
         done = self.oracle.get_task_info_for_set(start_info, self.env.get_info(), [task])
         return task in done
 
@@ -195,16 +204,21 @@ class ScriptedExpert:
             top = self._held_color()
             if top is None:  # grasp a free table block first
                 cands = [c for c in COLORS if oz._on_table(self._block(c))]
+                if len(cands) < 2:
+                    raise InfeasibleTask("stack_block: <2 free table blocks")
                 top = cands[0]
                 b = self._block(top)
                 pre = [("move", [b[0], b[1], 0.58]), ("grip", 1, 1),
                        ("move", b), ("grip", -1, 2),
                        ("move", [b[0], b[1], 0.58])]
-                bot = next(self._block(c) for c in cands[1:] if c != top)
+                bot = self._block(cands[1])
             else:
                 pre = []
-                bot = next(self._block(c) for c in COLORS
-                           if c != top and oz._on_table(self._block(c)))
+                bots = [self._block(c) for c in COLORS
+                        if c != top and oz._on_table(self._block(c))]
+                if not bots:
+                    raise InfeasibleTask("stack_block: no table block to stack onto")
+                bot = bots[0]
             return pre + [("move", [bot[0], bot[1], 0.62]),
                           ("move", [bot[0], bot[1], 0.53]), ("grip", 1, 2),
                           ("move", [bot[0], bot[1], 0.62])]
@@ -221,7 +235,7 @@ class ScriptedExpert:
                                 ("move", [spot[0], spot[1], 0.60]),
                                 ("move", [spot[0], spot[1], 0.48]), ("grip", 1, 2),
                                 ("move", [spot[0], spot[1], 0.60])]
-            raise RuntimeError("unstack_block: nothing stacked")
+            raise InfeasibleTask("unstack_block: nothing stacked")
 
         raise KeyError(task)
 
@@ -238,7 +252,7 @@ class ScriptedExpert:
             b = self._block(c)
             if oz._on_table(b):
                 return b
-        raise RuntimeError("no block on the table")
+        raise InfeasibleTask("no block on the table")
 
     def _free_table_spot(self) -> np.ndarray:
         others = [self._block(c)[:2] for c in COLORS]

@@ -66,6 +66,48 @@ def _stacked_on(top: np.ndarray, bottom: np.ndarray) -> bool:
     )
 
 
+def symbolic_state_from_scene(scene_obs: np.ndarray, held=None) -> Dict:
+    """Physical scene_obs -> symbolic StateDict (evaluation/tasks.py keys).
+
+    The expert-data generator chains tasks by symbolic successor states; with
+    execution noise the physical scene drifts from that bookkeeping (a noisy
+    place can land a block outside the slider zone, a push can graze a stack),
+    and a symbolically-feasible task then crashes the expert's physical
+    planner. Re-deriving the symbolic state from the scene after every task
+    keeps feasibility grounded in what the robot can actually do — the same
+    zone predicates the oracle scores with, so generator, expert, and oracle
+    agree by construction."""
+    s = np.asarray(scene_obs, np.float64)
+    state: Dict = {
+        "slider": "left" if s[0] > SLIDER_OPEN_LEFT / 2 else "right",
+        "drawer": "open" if s[1] > DRAWER_OPEN / 2 else "closed",
+        "lightbulb": int(s[4] >= 0.5),
+        "led": int(s[5] >= 0.5),
+        "grasped": int(held is not None),
+    }
+    pos = {c: _block(s, c)[:3] for c in COLORS}
+    slots: Dict[str, str] = {}
+    for top in COLORS:
+        for bot in COLORS:
+            if top != bot and _stacked_on(pos[top], pos[bot]):
+                slots[top] = "stacked_top"
+                slots[bot] = "stacked_bottom"
+    for c in COLORS:
+        if held == c:
+            slots[c] = "grasped"
+        elif c in slots:
+            pass
+        elif _in_slider(pos[c]):
+            near_left = np.linalg.norm(pos[c][:2] - BLOCK_SLIDER_LEFT[:2]) < 0.1
+            slots[c] = "slider_left" if near_left else "slider_right"
+        elif _in_drawer(pos[c]):
+            slots[c] = "drawer"
+        else:
+            slots[c] = "table"  # incl. off-zone shelf/floor strays: reachable
+        state[f"{c}_block"] = slots[c]
+    return state
+
+
 class SceneObsTaskOracle:
     """Detect completed tasks from a (start_scene, end_scene) pair."""
 

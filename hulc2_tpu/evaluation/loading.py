@@ -23,23 +23,39 @@ from hulc2_tpu.models.hulc2 import Hulc2
 
 logger = logging.getLogger(__name__)
 
-# post-transform camera resolutions (rand_shift preset)
+# post-transform camera resolutions (rand_shift preset fallback)
 _CAM_HW = {"rgb_static": 200, "rgb_gripper": 84, "rgb_tactile": 64,
            "depth_static": 200, "depth_gripper": 84}
+
+
+def _cam_hw(dm: dict) -> dict:
+    """Per-camera post-transform resolution from the RUN's transform preset
+    (the parameter shapes depend on it — a 96px run's conv flatten dims
+    differ from the 200px default); falls back to the rand_shift sizes."""
+    from hulc2_tpu.data.device_transforms import TRANSFORM_PRESETS
+
+    hw = dict(_CAM_HW)
+    preset = TRANSFORM_PRESETS.get(dm.get("transforms", "rand_shift"), {})
+    for cam, pipeline in preset.get("val", {}).items():
+        for op in pipeline:
+            if op.get("op") == "resize":
+                hw[cam] = int(op["size"])
+    return hw
 
 
 def dummy_model_batch(cfg: dict, b: int = 1, s: int = 2):
     """Shape-correct transformed batch for parameter-shape initialization."""
     dm = cfg["datamodule"]
     obs = dm["observation_space"]
+    cam_hw = _cam_hw(dm)
     proprio_dim = sum(hi - lo for lo, hi in dm["proprioception_dims"]["keep_indices"])
     batch = {
         "rgb_obs": {
-            cam: jnp.zeros((b, s, _CAM_HW[cam], _CAM_HW[cam], 3), jnp.float32)
+            cam: jnp.zeros((b, s, cam_hw[cam], cam_hw[cam], 3), jnp.float32)
             for cam in obs["rgb_obs"]
         },
         "depth_obs": {
-            cam: jnp.zeros((b, s, _CAM_HW[cam], _CAM_HW[cam]), jnp.float32)
+            cam: jnp.zeros((b, s, cam_hw[cam], cam_hw[cam]), jnp.float32)
             for cam in obs["depth_obs"]
         },
         "robot_obs": jnp.zeros((b, s, proprio_dim), jnp.float32),

@@ -89,6 +89,7 @@ def make_expert_dataset(
     """Write the dataset; returns the root path. Idempotent per split."""
     from hulc2_tpu.envs.fake_env import FakeCalvinEnv
     from hulc2_tpu.envs.scripted_expert import ScriptedExpert
+    from hulc2_tpu.envs.task_oracle import symbolic_state_from_scene
     from hulc2_tpu.evaluation.initial_states import get_env_state_for_initial_condition
     from hulc2_tpu.evaluation.sequences import enumerate_initial_states
     from hulc2_tpu.evaluation.tasks import TASK_NAMES, successor_states
@@ -112,6 +113,7 @@ def make_expert_dataset(
         next_start = 0
         t0 = time.time()
         task_counts: dict = {}
+        fail_counts: dict = {}
         for ep in range(n_eps):
             sym = dict(init_states[int(rng.integers(len(init_states)))])
             robot_obs, scene_obs = get_env_state_for_initial_condition(dict(sym))
@@ -121,15 +123,25 @@ def make_expert_dataset(
             expert = ScriptedExpert(env, rng=rng, noise=noise)
             writer = _FrameWriter(d, next_start)
             writer.start(obs)
+            consec_fails = 0
             for _ in range(n_tasks):
+                # feasibility from the PHYSICAL scene, re-derived every draw:
+                # chained symbolic successors drift from the noisy execution
+                # (a graze can topple a stack) and an infeasible draw used to
+                # crash generation (round-4 gen_big)
+                sym = symbolic_state_from_scene(env.scene_obs, held=env._held)
                 feasible = [t for t in TASK_NAMES if len(successor_states(sym, t)) == 1]
                 if not feasible:
                     break
                 task = feasible[int(rng.integers(len(feasible)))]
                 if not expert.solve(task, recorder=writer):
-                    logger.warning("expert failed %s mid-episode — ending episode", task)
-                    break
-                sym = successor_states(sym, task)[0]
+                    fail_counts[task] = fail_counts.get(task, 0) + 1
+                    consec_fails += 1
+                    if consec_fails >= 3:
+                        logger.warning("expert: 3 consecutive failures — ending episode")
+                        break
+                    continue
+                consec_fails = 0
                 task_counts[task] = task_counts.get(task, 0) + 1
                 # short idle/noise segment between tasks (play-like pauses)
                 for _ in range(int(rng.integers(1, idle_steps + 1))):
@@ -149,6 +161,9 @@ def make_expert_dataset(
         logger.info("%s: %d episodes, %d frames, tasks: %s", split, len(ranges),
                     sum(e - s + 1 for s, e in ranges),
                     dict(sorted(task_counts.items(), key=lambda kv: -kv[1])))
+        if fail_counts:
+            logger.info("%s: expert failures: %s", split,
+                        dict(sorted(fail_counts.items(), key=lambda kv: -kv[1])))
         # language annotations from oracle-detected windows; the deterministic
         # hash embedding is used for BOTH training and evaluation goals, so
         # language conditioning is consistent (a distinct reproducible vector

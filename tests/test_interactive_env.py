@@ -181,3 +181,37 @@ class TestScriptedExpert:
         # mid-chain preconditions; they are exercised in test_full_chain and
         # the 64-chain sweep (docs/runs)
         assert len(covered) == 27
+
+    def test_infeasible_plan_is_clean_failure(self):
+        """An infeasible draw (unstack with nothing stacked) returns False
+        from solve() instead of crashing — one bad draw must never kill a
+        dataset-generation run (round-4 gen_big regression)."""
+        env, _ = make_env(0, static_hw=16, gripper_hw=16)
+        assert ScriptedExpert(env).solve("unstack_block") is False
+
+
+class TestSymbolicResync:
+    def test_roundtrip_from_initial_states(self):
+        """Physical state synthesized FROM a symbolic state must re-derive
+        back to it (for the keys the physical layout can represent)."""
+        from hulc2_tpu.envs.task_oracle import symbolic_state_from_scene
+
+        for init in enumerate_initial_states()[:8]:
+            sym = dict(init)
+            _, scene_obs = get_env_state_for_initial_condition(dict(sym))
+            got = symbolic_state_from_scene(scene_obs, held=None)
+            for k in ("slider", "drawer", "lightbulb", "led"):
+                assert got[k] == sym[k], (k, got[k], sym[k])
+            for c in ("red", "blue", "pink"):
+                assert got[f"{c}_block"] == sym[f"{c}_block"], c
+            assert got["grasped"] == 0
+
+    def test_tracks_interactive_changes(self):
+        from hulc2_tpu.envs.task_oracle import symbolic_state_from_scene
+
+        env, _ = make_env(0, static_hw=16, gripper_hw=16)
+        before = symbolic_state_from_scene(env.scene_obs, held=env._held)
+        task = "open_drawer" if before["drawer"] == "closed" else "close_drawer"
+        assert ScriptedExpert(env).solve(task)
+        after = symbolic_state_from_scene(env.scene_obs, held=env._held)
+        assert after["drawer"] != before["drawer"]
