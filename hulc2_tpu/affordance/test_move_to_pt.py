@@ -9,7 +9,7 @@ project/deproject round trip, and the motion-primitive plumbing end to end —
 without any learned model in the loop.
 
     python -m hulc2_tpu.affordance.test_move_to_pt            # fake env
-    python -m hulc2_tpu.affordance.test_move_to_pt --px 120 90 --depth 1.8
+    python -m hulc2_tpu.affordance.test_move_to_pt --px 120 90 --depth 1.7
 """
 from __future__ import annotations
 
@@ -35,7 +35,7 @@ def default_static_camera(hw: int = 200):
                                      cx=hw / 2, cy=hw / 2, T_world_cam=T)
 
 
-def run(px=(100, 100), depth: float = 1.9, max_err: float = 0.02, env=None, camera=None):
+def run(px=(100, 100), depth: float = 1.7, max_err: float = 0.02, env=None, camera=None):
     from hulc2_tpu.agents.base_agent import BaseAgent
     from hulc2_tpu.envs.fake_env import FakeCalvinEnv
 
@@ -62,7 +62,7 @@ def run(px=(100, 100), depth: float = 1.9, max_err: float = 0.02, env=None, came
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--px", type=int, nargs=2, default=(100, 100))
-    p.add_argument("--depth", type=float, default=1.9)
+    p.add_argument("--depth", type=float, default=1.7)
     p.add_argument("--max-err", type=float, default=0.02)
     args = p.parse_args(argv)
     err, ok = run(tuple(args.px), args.depth, args.max_err)
