@@ -63,6 +63,12 @@ class Hulc2Agent(BaseAgent):
             dm_cfg.get("transforms", "rand_shift"),
             train=False,
         )
+        # only the modalities the policy consumes cross host->device — envs
+        # also emit e.g. depth_static (the largest tensor, f32) for the
+        # host-side affordance deprojection, which must not ride every
+        # policy dispatch over a tunneled link
+        self._rgb_keys = set(dm_cfg["observation_space"]["rgb_obs"])
+        self._depth_keys = set(dm_cfg["observation_space"]["depth_obs"])
         # one jitted program per env step (transform + policy + binarize);
         # shareable across cohort agents so the program compiles once
         self._fused_step = fused_step or make_fused_policy_step(model, self._transform)
@@ -128,8 +134,10 @@ class Hulc2Agent(BaseAgent):
             assert a.shape[0] == self.n_envs, (a.shape, self.n_envs)
             return jnp.asarray(a[:, None])  # (B, 1, ...)
 
-        raw = {cam: batch(v, 3) for cam, v in obs["rgb_obs"].items()}
-        raw.update({cam: batch(v, 2) for cam, v in obs.get("depth_obs", {}).items()})
+        raw = {cam: batch(v, 3) for cam, v in obs["rgb_obs"].items()
+               if cam in self._rgb_keys}
+        raw.update({cam: batch(v, 2) for cam, v in obs.get("depth_obs", {}).items()
+                    if cam in self._depth_keys})
         raw["robot_obs_raw"] = batch(obs["robot_obs"], 1).astype(jnp.float32)
         raw["actions"] = jnp.zeros((self.n_envs, 1, 7), jnp.float32)  # unused by transform consumers
         return raw

@@ -9,9 +9,11 @@ and writes results.json.
     python -m hulc2_tpu.evaluation.evaluate_policy --train-dir runs/... \
         --dataset-path /data/calvin/task_D_D [--checkpoint N] [--fake-env]
 
-``--fake-env`` runs the full harness against the symbolic FakeCalvinEnv
-(policy actions are executed but success comes from symbolic task execution
-with a configurable rate) — a plumbing smoke mode, not a benchmark.
+``--fake-env`` runs the full harness against the interactive FakeCalvinEnv
+(envs/fake_env.py): scene state mutates only through the policy's own
+``step()`` actions, observations are rendered from the scene, and success is
+scored by the scene-obs task oracle — the in-repo benchmark backend used when
+the PyBullet calvin_env package is unavailable (see docs/runs/r4_learning_loop).
 """
 from __future__ import annotations
 
@@ -77,7 +79,8 @@ def main(argv=None):
     p.add_argument("--ep-len", type=int, default=harness.EP_LEN)
     p.add_argument("--num-sequences", type=int, default=harness.NUM_SEQUENCES)
     p.add_argument("--log-dir", default=None)
-    p.add_argument("--fake-env", action="store_true", help="symbolic smoke mode (no simulator)")
+    p.add_argument("--fake-env", action="store_true",
+                   help="use the interactive FakeCalvinEnv backend (no PyBullet)")
     p.add_argument("--lang-folder", default="lang_annotations")
     p.add_argument("--n-envs", type=int, default=1,
                    help="lockstep env instances per policy dispatch (batched eval)")
@@ -219,47 +222,35 @@ def main(argv=None):
         env_hw = dict(static_hw=_preset_hw("rgb_static", 200),
                       gripper_hw=_preset_hw("rgb_gripper", 84))
 
-        if args.n_envs > 1:  # batched/pipelined evaluator (no simulator)
-            from hulc2_tpu.envs.calvin_wrapper import EnvFarm
-            from hulc2_tpu.evaluation.batched_eval import PipelinedEvaluator
+        # batched/pipelined evaluator — the interactive benchmark path
+        # (n_envs=1 is just a 1-env farm; success always comes from the
+        # oracle judging what the policy's own step() actions did)
+        from hulc2_tpu.envs.calvin_wrapper import EnvFarm
+        from hulc2_tpu.evaluation.batched_eval import PipelinedEvaluator
 
-            n_cohorts = max(1, min(args.cohorts, args.n_envs))
-            per = args.n_envs // n_cohorts
-            sizes = [per + (1 if c < args.n_envs % n_cohorts else 0) for c in range(n_cohorts)]
-            cohorts, shared_step = [], None
-            seed = 0
-            for size in sizes:
-                farm = EnvFarm([FakeCalvinEnv(seed=seed + i, **env_hw) for i in range(size)])
-                seed += size
-                agent = Hulc2Agent(farm, model, params, cfg["datamodule"],
-                                   n_envs=size, fused_step=shared_step)
-                shared_step = shared_step or agent._fused_step
-                cohorts.append((farm, agent))
-            ev = PipelinedEvaluator(cohorts, lang_embeddings, ep_len=args.ep_len, oracle=oracle,
-                                    affordance=affordance, aff_lang_embeddings=aff_lang)
-            results = ev.evaluate(sequences=sequences)
-            if affordance is not None:
-                logger.info("hierarchical mode: %d affordance predictions, %d approaches, "
-                            "%d approach steps", ev.n_aff_predictions, ev.n_approaches,
-                            ev.n_approach_steps)
-            step = args.checkpoint if args.checkpoint is not None else "latest"
-            merged = harness.print_and_save({str(step): results}, log_dir, sequences=sequences)
-            logger.info("evaluation wall-clock: %.1f s", time.time() - t0)
-            return merged
-
-        env = FakeCalvinEnv(**env_hw)
-        agent = Hulc2Agent(env, model, params, cfg["datamodule"], affordance=affordance)
-
-        def rollout_fn(env, subtask):
-            agent.reset(subtask if affordance is not None else None)
-            goal = {"lang": lang_embeddings[subtask]}
-            obs = env.get_obs()
-            start = env.get_info()
-            for _ in range(min(args.ep_len, 12)):  # short horizon in smoke mode
-                action = agent.step(obs, goal)
-                obs, _, _, _ = env.step(action)
-            env.perform(subtask)  # symbolic completion
-            return subtask in oracle.get_task_info_for_set(start, env.get_info(), [subtask])
+        n_cohorts = max(1, min(args.cohorts, args.n_envs))
+        per = args.n_envs // n_cohorts
+        sizes = [per + (1 if c < args.n_envs % n_cohorts else 0) for c in range(n_cohorts)]
+        cohorts, shared_step = [], None
+        seed = 0
+        for size in sizes:
+            farm = EnvFarm([FakeCalvinEnv(seed=seed + i, **env_hw) for i in range(size)])
+            seed += size
+            agent = Hulc2Agent(farm, model, params, cfg["datamodule"],
+                               n_envs=size, fused_step=shared_step)
+            shared_step = shared_step or agent._fused_step
+            cohorts.append((farm, agent))
+        ev = PipelinedEvaluator(cohorts, lang_embeddings, ep_len=args.ep_len, oracle=oracle,
+                                affordance=affordance, aff_lang_embeddings=aff_lang)
+        results = ev.evaluate(sequences=sequences)
+        if affordance is not None:
+            logger.info("hierarchical mode: %d affordance predictions, %d approaches, "
+                        "%d approach steps", ev.n_aff_predictions, ev.n_approaches,
+                        ev.n_approach_steps)
+        step = args.checkpoint if args.checkpoint is not None else "latest"
+        merged = harness.print_and_save({str(step): results}, log_dir, sequences=sequences)
+        logger.info("evaluation wall-clock: %.1f s", time.time() - t0)
+        return merged
 
     else:
         from hulc2_tpu.agents.hulc2_agent import Hulc2Agent
