@@ -127,6 +127,13 @@ class Hulc2DataModule:
         from hulc2_tpu.data.loader import FusedBatchLoader
 
         if len(self.modalities) == 1:  # nothing to fuse: single-modality dicts
+            if (self.cfg.get("loader_isolation", "none") != "none"
+                    or self.cfg.get("device_store", False)):
+                raise NotImplementedError(
+                    "loader_isolation / device_store require the fused "
+                    "two-modality path; single-modality configs would "
+                    "silently fall back to host assembly"
+                )
             return self.train_iter()
         if self.cfg.get("loader_isolation", "none") == "process":
             if not hasattr(self, "_process_loader"):
@@ -160,6 +167,10 @@ class Hulc2DataModule:
                 logger.info(
                     "device frame store: %.2f GiB resident", dev.nbytes / 2**30
                 )
+                # the host copy of the uploaded image arrays is dead weight
+                # from here on (only the small keys are read per step) — free
+                # it so the dataset isn't resident twice on a small-RAM host
+                self._stores["training"].drop_arrays(dev.image_keys)
                 self._device_loader = DeviceGatherFusedLoader(
                     self.datasets["vis_training"],
                     self.datasets["lang_training"],
@@ -168,6 +179,8 @@ class Hulc2DataModule:
                     self.cfg.get("batch_size_lang", self.cfg.get("batch_size", 32)),
                     shuffle=True,
                     seed=self.seed,
+                    process_index=self.process_index,
+                    process_count=self.process_count,
                 )
             return self._device_loader
         if not hasattr(self, "_fused_loader"):

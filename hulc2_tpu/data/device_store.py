@@ -85,6 +85,8 @@ class DeviceGatherFusedLoader:
         batch_size_lang: int,
         shuffle: bool = True,
         seed: int = 0,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
         if vis_dataset.frame_skip is not None or lang_dataset.frame_skip is not None:
             raise NotImplementedError("device-store gather does not support frame_skip")
@@ -96,22 +98,27 @@ class DeviceGatherFusedLoader:
         self.bl = batch_size_lang
         self.shuffle = shuffle
         self.seed = seed
+        self.process_index = process_index
+        self.process_count = process_count
         self.epoch = 0
         self.S = vis_dataset.padded_size
-        # small-key specs mirror FusedBatchLoader's fused layout
-        b = batch_size_vis + batch_size_lang
         self._act_dim = None  # probed lazily from the first plan
 
     def __len__(self) -> int:
-        return min(len(self.vis) // self.bv, len(self.lang) // self.bl)
+        return min(len(self.vis) // self.process_count // self.bv,
+                   len(self.lang) // self.process_count // self.bl)
 
     def _orders(self):
-        # identical streams to FusedBatchLoader._orders
+        # identical streams to FusedBatchLoader._orders, incl. the
+        # process_index-strided shard (every process must draw a DISJOINT
+        # slice of the same global permutation, or a multi-host run trains
+        # on N identical copies of each batch)
         rng_v = np.random.default_rng((self.seed, self.epoch, 0))
         rng_l = np.random.default_rng((self.seed, self.epoch, 1))
         ov = rng_v.permutation(len(self.vis)) if self.shuffle else np.arange(len(self.vis))
         ol = rng_l.permutation(len(self.lang)) if self.shuffle else np.arange(len(self.lang))
-        return ov, ol
+        return (ov[self.process_index :: self.process_count],
+                ol[self.process_index :: self.process_count])
 
     def _plan_rows(self, ds: WindowDataset, idxs, epoch: int, rows: np.ndarray,
                    row0: int, out: Dict[str, np.ndarray]) -> None:

@@ -189,6 +189,16 @@ class RamFrameStore:
                 pass
         self._shms.clear()
 
+    def drop_arrays(self, keys: Sequence[str]) -> None:
+        """Free the host copies of ``keys`` (used after a device upload makes
+        them dead weight). No-op for shm-backed stores: those segments are a
+        shared cache other local processes may be attached to."""
+        if self._shms:
+            logger.debug("drop_arrays skipped: shm-backed store is shared")
+            return
+        for k in keys:
+            self.arrays.pop(k, None)
+
     # ------------------------------------------------------------------ #
     def load_window(self, start: int, size: int) -> Dict[str, np.ndarray]:
         row = self.id_to_row[int(start)]

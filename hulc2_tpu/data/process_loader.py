@@ -31,6 +31,7 @@ import atexit
 import logging
 import multiprocessing as mp
 import os
+import queue
 from multiprocessing import shared_memory
 from typing import Dict, Iterator, List, Tuple
 
@@ -168,7 +169,20 @@ class ProcessFusedLoader:
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         for _ in range(self._len):
-            item = self._ready_q.get()
+            while True:
+                try:
+                    item = self._ready_q.get(timeout=60.0)
+                    break
+                except queue.Empty:
+                    # an abnormally dead child (OOM-kill, segfault) never
+                    # reaches its own error branch — surface it instead of
+                    # hanging the trainer mid-epoch forever
+                    if not self._proc.is_alive():
+                        raise RuntimeError(
+                            f"loader child died (exitcode {self._proc.exitcode}) "
+                            "without reporting an error — likely OOM-killed "
+                            "while building its datamodule copy"
+                        )
             if isinstance(item, tuple) and item[0] == "error":
                 raise RuntimeError(f"loader child failed:\n{item[1]}")
             slot = self._slots[item]

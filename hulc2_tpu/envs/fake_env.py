@@ -225,28 +225,37 @@ class FakeCalvinEnv:
                 b[2] = self._support_z(b[0], b[1], exclude=self._held)
                 self._held = None
 
-        # push: sustained-low EE contact shoves free blocks along its motion
+        # push: sustained-low EE contact shoves free blocks along its motion.
+        # A pushed block SLIDES — it may keep its height or drop, never climb
+        # (below_z), so sweeping a stacked pair moves it coherently instead of
+        # teleport-swapping the pair (each block would otherwise re-settle on
+        # the other). Ascending-z order settles supports before riders.
         if (delta[0] or delta[1]):
-            for c in COLORS:
-                if c == self._held:
-                    continue
+            for c in sorted((c for c in COLORS if c != self._held),
+                            key=lambda c: self._bpos(c)[2]):
                 b = self._bpos(c)
                 if (np.linalg.norm(ee[:2] - b[:2]) < L.PUSH_R
                         and ee[2] < b[2] + L.PUSH_Z_MARGIN
                         and prev_ee[2] < b[2] + L.PUSH_Z_MARGIN):
                     b[0] += delta[0]
                     b[1] += delta[1]
-                    b[2] = self._support_z(b[0], b[1], exclude=c)
+                    b[2] = self._support_z(b[0], b[1], exclude=c,
+                                           below_z=b[2] + 1e-6)
 
-    def _support_z(self, x: float, y: float, exclude: Optional[str] = None) -> float:
-        """Resting height for a block released/pushed to (x, y)."""
+    def _support_z(self, x: float, y: float, exclude: Optional[str] = None,
+                   below_z: Optional[float] = None) -> float:
+        """Resting height for a block released/pushed to (x, y). With
+        ``below_z`` the result may not exceed it (pushed blocks slide or
+        drop, only a released block can land ON another)."""
         s = self.scene_obs
         for c in COLORS:  # stack onto another block?
             if c == exclude or c == self._held:
                 continue
             b = self._bpos(c)
-            if np.linalg.norm([x - b[0], y - b[1]]) < 0.035 and b[2] < 0.55:
-                return float(b[2] + 2 * L.BLOCK_HALF[2])
+            rest = float(b[2] + 2 * L.BLOCK_HALF[2])
+            if (np.linalg.norm([x - b[0], y - b[1]]) < 0.035 and b[2] < 0.55
+                    and (below_z is None or rest <= below_z)):
+                return rest
         if y < oz.DRAWER_ZONE_Y:  # past the front lip: drawer cavity or lost
             if L.in_drawer_cavity(x, y, s[1]):
                 return L.DRAWER_BLOCK_Z

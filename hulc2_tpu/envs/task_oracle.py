@@ -52,8 +52,19 @@ def _in_slider(pos: np.ndarray) -> bool:
     return bool((near_left or near_right) and SLIDER_ZONE_Z[0] < pos[2] < SLIDER_ZONE_Z[1])
 
 
+DRAWER_ZONE_Z_MIN = 0.30  # below: fallen to the floor, NOT in the drawer
+
+
 def _in_drawer(pos: np.ndarray) -> bool:
-    return bool(pos[1] < DRAWER_ZONE_Y and pos[2] < DRAWER_ZONE_Z)
+    # the cavity floor holds blocks at ~0.38; a block released past the table
+    # front but outside the cavity drops to FLOOR_Z=0.10 — it is lost, not
+    # stowed (and permanently ungraspable: the EE z-clamp stops at 0.30), so
+    # it must not satisfy place_in_drawer or count as a drawer-origin lift
+    return bool(pos[1] < DRAWER_ZONE_Y and DRAWER_ZONE_Z_MIN < pos[2] < DRAWER_ZONE_Z)
+
+
+def _on_floor(pos: np.ndarray) -> bool:
+    return bool(pos[2] <= DRAWER_ZONE_Z_MIN)
 
 
 def _on_table(pos: np.ndarray) -> bool:
@@ -102,8 +113,10 @@ def symbolic_state_from_scene(scene_obs: np.ndarray, held=None) -> Dict:
             slots[c] = "slider_left" if near_left else "slider_right"
         elif _in_drawer(pos[c]):
             slots[c] = "drawer"
+        elif _on_floor(pos[c]):
+            slots[c] = "floor"  # lost: below the EE z-clamp, ungraspable
         else:
-            slots[c] = "table"  # incl. off-zone shelf/floor strays: reachable
+            slots[c] = "table"  # incl. off-zone shelf strays: reachable
         state[f"{c}_block"] = slots[c]
     return state
 

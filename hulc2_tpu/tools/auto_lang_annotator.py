@@ -187,10 +187,16 @@ def hash_embed(sentences: List[str], dim: int = 384) -> np.ndarray:
     when no language tower weights are available. Distinct sentences map to
     distinct, reproducible vectors — sufficient for pipeline tests, NOT a
     semantic embedding."""
+    import hashlib
+
     out = np.empty((len(sentences), dim), np.float32)
     for i, s in enumerate(sentences):
-        h = np.frombuffer(s.encode() + b"\x00" * 8, dtype=np.uint8)
-        rng = np.random.default_rng(int(h[:8].view(np.uint64)[0]))
+        # digest of the WHOLE sentence — an earlier prefix-seeded variant
+        # collided 26 of the 34 canonical task sentences into 8 vectors
+        # ("turn on the led" == "turn on the light bulb"), silently removing
+        # language conditioning from any pipeline built on this fallback
+        h = hashlib.blake2b(s.encode(), digest_size=8).digest()
+        rng = np.random.default_rng(int.from_bytes(h, "little"))
         out[i] = rng.standard_normal(dim).astype(np.float32)
     return out
 

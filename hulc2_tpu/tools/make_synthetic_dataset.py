@@ -96,11 +96,18 @@ def make_synthetic_calvin(
             env.reset(robot_obs=robot_obs, scene_obs=scene_obs)
             for i in range(start, end + 1):
                 if i > start and (i - start) % task_every == 0:
+                    # feasibility from the PHYSICAL scene (as in
+                    # make_expert_dataset): the random filler steps run the
+                    # interactive dynamics, so the scene drifts from a
+                    # symbolically-evolved state (e.g. a random gripper-open
+                    # drops the held block and place_* would crash perform)
+                    from hulc2_tpu.envs.task_oracle import symbolic_state_from_scene
+
+                    sym = symbolic_state_from_scene(env.scene_obs, held=env._held)
                     feasible = [t for t in TASK_NAMES if len(successor_states(sym, t)) == 1]
                     if feasible:
                         task = feasible[int(rng.integers(len(feasible)))]
                         env.perform(task)
-                        sym = successor_states(sym, task)[0]
                         performed.append((i, task))
                 action = np.clip(rng.standard_normal(7) * 0.2, -1, 1).astype(np.float32)
                 env.step(action)

@@ -66,10 +66,12 @@ def roofline(trace_dir: str, steps: int, top: int = 10,
              hbm_gbps: float = V5E_HBM_GBPS) -> dict:
     ops = load_xla_op_events(find_trace_file(trace_dir))
     per_op_ms = collections.Counter()
+    per_op_count = collections.Counter()
     meta = {}
     for e in ops:
         args = e.get("args", {})
         per_op_ms[e["name"]] += e.get("dur", 0) / 1e3
+        per_op_count[e["name"]] += 1
         if e["name"] not in meta or len(args.get("long_name", "")) > len(
                 meta[e["name"]].get("long_name", "")):
             meta[e["name"]] = args
@@ -84,12 +86,18 @@ def roofline(trace_dir: str, steps: int, top: int = 10,
         if len(rows) >= top:
             continue
         nbytes, exact = op_bytes(meta[name].get("long_name", ""))
-        per_step_bytes = nbytes  # each op instance runs once per step
+        # executions per step from the trace itself: ops inside a lax.scan /
+        # while-loop body run S times per step, and assuming once-per-step
+        # would underreport their achieved GB/s ~S-fold (misclassifying
+        # at-floor loop ops as fusion targets)
+        execs_per_step = max(per_op_count[name] / max(steps, 1), 1.0)
+        per_step_bytes = nbytes * execs_per_step
         t_s = ms / 1e3 / max(steps, 1)
         gbps = per_step_bytes / t_s / 1e9 if t_s > 0 and per_step_bytes else 0.0
         rows.append({
             "op": name,
             "category": cat,
+            "execs_per_step": round(execs_per_step, 1),
             "ms_per_step": round(ms / max(steps, 1), 3),
             "pct_of_step": round(100 * ms / total_ms, 1),
             "bytes_per_step_mib": round(per_step_bytes / 2**20, 1),

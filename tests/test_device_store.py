@@ -74,8 +74,12 @@ def test_device_gather_matches_fused_loader(calvin_dir):
     dm = Hulc2DataModule(_dm_cfg(calvin_dir, True), seed=7)
     dm.setup()
     dev_loader = dm.fused_train_iter()
+    # separate datamodule for the host reference: the device path frees the
+    # RAM store's image arrays once they are resident in HBM
+    dm_ref = Hulc2DataModule(_dm_cfg(calvin_dir, False), seed=7)
+    dm_ref.setup()
     ref_loader = FusedBatchLoader(
-        dm.datasets["vis_training"], dm.datasets["lang_training"],
+        dm_ref.datasets["vis_training"], dm_ref.datasets["lang_training"],
         batch_size_vis=3, batch_size_lang=2, shuffle=True, seed=7, num_threads=1,
     )
     assert len(dev_loader) == len(ref_loader)
@@ -86,6 +90,33 @@ def test_device_gather_matches_fused_loader(calvin_dir):
                 g = np.asarray(got[k])
                 assert g.dtype == want[k].dtype, k
                 np.testing.assert_array_equal(g, want[k], err_msg=k)
+
+
+def test_device_gather_process_sharding(calvin_dir):
+    """Multi-host sharding: each process must draw a DISJOINT strided slice
+    of the same global permutation, exactly like FusedBatchLoader."""
+    dms, shard_loaders = [], []
+    for pi in range(2):
+        dm = Hulc2DataModule(_dm_cfg(calvin_dir, True), seed=7,
+                             process_index=pi, process_count=2)
+        dm.setup()
+        dms.append(dm)
+        shard_loaders.append(dm.fused_train_iter())
+    dm_ref = Hulc2DataModule(_dm_cfg(calvin_dir, False), seed=7)
+    dm_ref.setup()
+    refs = [
+        FusedBatchLoader(
+            dm_ref.datasets["vis_training"], dm_ref.datasets["lang_training"],
+            batch_size_vis=3, batch_size_lang=2, shuffle=True, seed=7,
+            num_threads=1, process_index=pi, process_count=2,
+        )
+        for pi in range(2)
+    ]
+    for got_loader, want_loader in zip(shard_loaders, refs):
+        assert len(got_loader) == len(want_loader)
+        for got, want in zip(got_loader, want_loader):
+            for k in want:
+                np.testing.assert_array_equal(np.asarray(got[k]), want[k], err_msg=k)
 
 
 def test_process_loader_matches_fused_loader(calvin_dir):
