@@ -25,6 +25,7 @@ next job — envs never idle waiting for the slowest chain.
 from __future__ import annotations
 
 import logging
+import threading
 import time
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -35,6 +36,31 @@ from hulc2_tpu.evaluation.initial_states import get_env_state_for_initial_condit
 from hulc2_tpu.evaluation.sequences import get_sequences
 
 logger = logging.getLogger(__name__)
+
+
+class _AsyncFetch:
+    """D2H pull of a device array on a daemon thread; ``get()`` joins."""
+
+    __slots__ = ("_thread", "_result", "_error")
+
+    def __init__(self, device_array):
+        self._result = None
+        self._error = None
+
+        def pull():
+            try:
+                self._result = np.asarray(device_array)
+            except BaseException as e:  # surfaced in get()
+                self._error = e
+
+        self._thread = threading.Thread(target=pull, daemon=True)
+        self._thread.start()
+
+    def get(self) -> np.ndarray:
+        self._thread.join()
+        if self._error is not None:
+            raise self._error
+        return self._result
 
 
 class _EnvJob:
@@ -131,12 +157,18 @@ class _Cohort:
             else:
                 self._pd_actions[i] = a
         stacked = type(self.farm).stack_obs(self.obs)
-        self.pending = self.agent.step_async(stacked, {"lang": self.goals})
+        device_actions = self.agent.step_async(stacked, {"lang": self.goals})
+        # pull the result in a worker thread: on a tunneled chip the D2H
+        # fetch is a lazy request/response round-trip (~tens of ms) even when
+        # the result is long computed — threading it overlaps that RTT with
+        # the OTHER cohorts' host sim stepping (the fetch wait releases the
+        # GIL inside the client's network read)
+        self.pending = _AsyncFetch(device_actions)
 
     def settle(self):
         """Block on the in-flight dispatch, step the host sims, and advance
         the per-env job bookkeeping. Returns the number of env steps taken."""
-        actions = np.asarray(self.pending)
+        actions = self.pending.get()
         self.pending = None
         if actions.ndim == 1:
             actions = actions[None]
