@@ -135,8 +135,11 @@ class FakeCalvinEnv:
     def get_obs(self) -> Dict:
         from hulc2_tpu.envs.render import render, scene_boxes
 
-        boxes = scene_boxes(self.scene_obs, self.robot_obs, self._held)
-        rgb_static, depth_static = render(self.cameras[0], boxes)
+        boxes, n_static = scene_boxes(self.scene_obs, self.robot_obs, self._held)
+        # the fixed static camera replays the fixtures' raycast from cache;
+        # the gripper camera moves every frame, so no caching there
+        rgb_static, depth_static = render(self.cameras[0], boxes,
+                                          n_static=n_static, cache_key="static")
         # the wrist box (last) is the gripper camera's own mount — invisible
         # to it, exactly like a real wrist cam
         rgb_gripper, _ = render(self._gripper_camera(), boxes[:-1])

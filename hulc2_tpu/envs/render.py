@@ -15,6 +15,24 @@ scene state it is asked to manipulate (VERDICT r3 Missing #1).
 
 Host-side NumPy by design — it runs inside CPU env processes next to the
 policy's TPU dispatch, like PyBullet's renderer does in the reference.
+
+This is the 1000-chain eval's host hot loop (~14 ms of the ~20 ms/env-step
+on the 1-core harness), so it carries two bit-exactness-preserving
+optimizations (equivalence-tested against the straightforward form in
+tests/test_render_equiv.py — the training data was rendered by this code,
+so eval frames MUST stay byte-identical):
+
+- ``scene_boxes`` orders the geometry-static fixtures (table/shelf/wall/
+  button base/LED/lever track/bulb — positions never move; only LED/bulb
+  *colors* change, and color is applied post-raycast) into a prefix, and
+  ``render`` caches that prefix's raycast buffers per fixed camera, so each
+  frame slab-tests only the ~15 moving boxes instead of re-testing the
+  full-frame table/shelf slabs;
+- per box, the hit parameter comes from a C-speed ``lo.max(-1)`` and the
+  slab axis/sign are recomputed only at the pixels that actually update
+  (subset argmax == full argmax at those pixels, same first-max tie-break),
+  replacing two full-rect ``take_along_axis`` gathers and a full-rect
+  ``argmax`` per box.
 """
 from __future__ import annotations
 
@@ -30,22 +48,31 @@ _LIGHT = _LIGHT / np.linalg.norm(_LIGHT)
 
 
 class Box:
-    __slots__ = ("center", "half", "color", "yaw")
+    __slots__ = ("center", "half", "color", "yaw", "center32", "half32", "color32")
 
     def __init__(self, center, half, color, yaw: float = 0.0):
         self.center = np.asarray(center, np.float64)
         self.half = np.asarray(half, np.float64)
         self.color = np.asarray(color, np.float64)
         self.yaw = float(yaw)
+        self.center32 = self.center.astype(np.float32)
+        self.half32 = self.half.astype(np.float32)
+        self.color32 = self.color.astype(np.float32)
 
 
 def scene_boxes(scene_obs: np.ndarray, robot_obs: np.ndarray,
-                held: Optional[str] = None) -> List[Box]:
-    """World-space boxes for the current state (fixtures + blocks + EE)."""
+                held: Optional[str] = None) -> Tuple[List[Box], int]:
+    """World-space boxes for the current state (fixtures + blocks + EE).
+
+    Returns ``(boxes, n_static)``: the first ``n_static`` boxes have
+    state-independent GEOMETRY (their colors may still vary per frame —
+    the LED/bulb indicators — which is fine because color is applied after
+    the raycast), so ``render`` can reuse their raycast across frames."""
     s = np.asarray(scene_obs, np.float64)
     r = np.asarray(robot_obs, np.float64)
     boxes: List[Box] = []
 
+    # ---- static-geometry prefix (cacheable raycast) --------------------- #
     # table top slab + back shelf
     boxes.append(Box([0.0, (L.TABLE_Y[0] + L.TABLE_Y[1]) / 2, L.TABLE_Z - 0.015],
                      [L.TABLE_X_HALF, (L.TABLE_Y[1] - L.TABLE_Y[0]) / 2, 0.015],
@@ -56,7 +83,18 @@ def scene_boxes(scene_obs: np.ndarray, robot_obs: np.ndarray,
     # cabinet back wall (so the door reads against something)
     boxes.append(Box([0.0, L.TABLE_Y[1] - 0.01, 0.55], [L.TABLE_X_HALF, 0.01, 0.10],
                      L.COLOR_SHELF * 0.8))
+    # LED button (base + indicator whose color IS the led state)
+    boxes.append(Box(L.BUTTON_POS - [0, 0, L.BUTTON_HALF[2]], L.BUTTON_HALF, L.COLOR_BUTTON))
+    led = L.COLOR_LED_ON if s[5] >= 0.5 else L.COLOR_LED_OFF
+    boxes.append(Box(L.BUTTON_POS + [0, 0, L.LED_HALF[2] - 0.002], L.LED_HALF, led))
+    # lightbulb switch lever track + bulb indicator
+    boxes.append(Box([L.SWITCH_X, L.SWITCH_Y + 0.01, (L.SWITCH_Z0 + 0.60) / 2],
+                     [0.006, 0.006, 0.07], L.COLOR_SWITCH * 1.5))
+    bulb = L.COLOR_BULB_ON if s[4] >= 0.5 else L.COLOR_BULB_OFF
+    boxes.append(Box(L.LIGHTBULB_POS, L.LIGHTBULB_HALF, bulb))
+    n_static = len(boxes)
 
+    # ---- per-frame geometry --------------------------------------------- #
     # sliding door + its handle
     door_x = L.slider_door_x(s[0])
     boxes.append(Box([door_x, L.DOOR_Y, L.DOOR_Z], L.DOOR_HALF, L.COLOR_DOOR))
@@ -72,17 +110,8 @@ def scene_boxes(scene_obs: np.ndarray, robot_obs: np.ndarray,
                          [L.DRAWER_X_HALF - 0.01, L.DRAWER_DEPTH / 2, 0.005],
                          L.COLOR_DRAWER * 0.7))
 
-    # LED button (base + indicator whose color IS the led state)
-    boxes.append(Box(L.BUTTON_POS - [0, 0, L.BUTTON_HALF[2]], L.BUTTON_HALF, L.COLOR_BUTTON))
-    led = L.COLOR_LED_ON if s[5] >= 0.5 else L.COLOR_LED_OFF
-    boxes.append(Box(L.BUTTON_POS + [0, 0, L.LED_HALF[2] - 0.002], L.LED_HALF, led))
-
-    # lightbulb switch lever + bulb indicator
+    # lightbulb switch lever
     boxes.append(Box(L.switch_lever_pos(s[3]), L.SWITCH_HALF, L.COLOR_SWITCH))
-    boxes.append(Box([L.SWITCH_X, L.SWITCH_Y + 0.01, (L.SWITCH_Z0 + 0.60) / 2],
-                     [0.006, 0.006, 0.07], L.COLOR_SWITCH * 1.5))  # lever track
-    bulb = L.COLOR_BULB_ON if s[4] >= 0.5 else L.COLOR_BULB_OFF
-    boxes.append(Box(L.LIGHTBULB_POS, L.LIGHTBULB_HALF, bulb))
 
     # blocks (yaw-rotated)
     for i, c in enumerate(COLORS):
@@ -102,10 +131,11 @@ def scene_boxes(scene_obs: np.ndarray, robot_obs: np.ndarray,
                      L.COLOR_EE, yaw=yaw))
     boxes.append(Box([ee[0], ee[1], ee[2] + L.EE_WRIST_LIFT], L.EE_WRIST_HALF,
                      L.COLOR_EE * 1.8))
-    return boxes
+    return boxes, n_static
 
 
 _GRID_CACHE: dict = {}
+_STATIC_RAY_CACHE: dict = {}
 
 _CORNER_SIGNS = np.array([[sx, sy_, sz] for sx in (-1, 1) for sy_ in (-1, 1)
                           for sz in (-1, 1)], np.float32)  # (8, 3)
@@ -127,38 +157,22 @@ def _ray_grid(camera) -> np.ndarray:
     return grid
 
 
-def render(camera, boxes: List[Box]) -> Tuple[np.ndarray, np.ndarray]:
-    """Ray-cast ``boxes`` through ``camera`` -> (rgb uint8 HxWx3, depth f32 HxW).
+def _cast_boxes(boxes, start: int, dirs, t0, Tcw, K, W: int, H: int,
+                best_t, best_i, best_axis, best_sign) -> None:
+    """Slab-test ``boxes[start:]`` into the best-hit buffers, in list order.
 
-    Rays are parameterized with camera-z component 1, so the hit parameter t
-    equals the +z camera-axis depth directly (the convention
-    ``PinholeCamera.deproject`` consumes). Each box is slab-tested only inside
-    its projected pixel bounding rectangle, so small fixtures cost almost
-    nothing and the full-frame cost is dominated by the table slab alone —
-    this is the env's hot loop (rendered twice per ``step``), kept ~ms-level
-    so host simulation keeps up with batched TPU dispatch.
-    """
-    H, W = camera.height, camera.width
-    K = camera.K.astype(np.float32)
-    T = camera.T_world_cam.astype(np.float32)
-    Tcw = camera.T_cam_world.astype(np.float32)
-    R, t0 = T[:3, :3], T[:3, 3]
-    dirs_cam = _ray_grid(camera)                      # (H, W, 3)
-    dirs = dirs_cam @ R.T                             # (H, W, 3) world
-
-    best_t = np.full((H, W), np.inf, np.float32)
-    best_i = np.full((H, W), -1, np.int16)
-    best_axis = np.zeros((H, W), np.int8)
-    best_sign = np.zeros((H, W), np.int8)
-
-    for i, b in enumerate(boxes):
+    Per box: project the 8 corners to a pixel bounding rectangle, slab-test
+    only inside it, and keep the nearest strict hit (``tmin < best_t``:
+    earlier boxes win exact ties, preserving list-order semantics)."""
+    for j, b in enumerate(boxes[start:]):
+        i = start + j
         # projected pixel bounding rectangle from the 8 corners
         if b.yaw:
             cyw, syw = np.cos(b.yaw), np.sin(b.yaw)
             Rz = np.array([[cyw, -syw, 0], [syw, cyw, 0], [0, 0, 1]], np.float32)
-            corners = b.center.astype(np.float32) + (_CORNER_SIGNS * b.half.astype(np.float32)) @ Rz.T
+            corners = b.center32 + (_CORNER_SIGNS * b.half32) @ Rz.T
         else:
-            corners = b.center.astype(np.float32) + _CORNER_SIGNS * b.half.astype(np.float32)
+            corners = b.center32 + _CORNER_SIGNS * b.half32
         pc = corners @ Tcw[:3, :3].T + Tcw[:3, 3]
         if np.any(pc[:, 2] <= 1e-4):                  # corner behind the camera
             u0, u1, v0, v1 = 0, W, 0, H
@@ -170,6 +184,9 @@ def render(camera, boxes: List[Box]) -> Tuple[np.ndarray, np.ndarray]:
             v1 = min(int(np.ceil(uv[:, 1].max())) + 1, H)
             if u0 >= u1 or v0 >= v1:
                 continue
+        # NB: subtract in float64 then round once — rounding b.center to
+        # float32 first can differ by 1 ulp, and eval frames must stay
+        # byte-identical to the training data this renderer produced
         o = (t0 - b.center).astype(np.float32)
         d = dirs[v0:v1, u0:u1]
         if b.yaw:
@@ -177,14 +194,13 @@ def render(camera, boxes: List[Box]) -> Tuple[np.ndarray, np.ndarray]:
             o = np.array([cy * o[0] - sy * o[1], sy * o[0] + cy * o[1], o[2]], np.float32)
             d = np.stack([cy * d[..., 0] - sy * d[..., 1],
                           sy * d[..., 0] + cy * d[..., 1], d[..., 2]], -1)
-        half = b.half.astype(np.float32)
+        half = b.half32
         safe = np.where(np.abs(d) < 1e-12, np.float32(1e-12), d)
         ta = (-half - o) / safe
         tb = (half - o) / safe
         lo = np.minimum(ta, tb)
         hi = np.maximum(ta, tb)
-        ax = lo.argmax(-1)
-        tmin = np.take_along_axis(lo, ax[..., None], -1)[..., 0]
+        tmin = lo.max(-1)
         tmax = hi.min(-1)
         sub_t = best_t[v0:v1, u0:u1]
         upd = (tmax >= tmin) & (tmin > 1e-6) & (tmin < sub_t)
@@ -192,12 +208,71 @@ def render(camera, boxes: List[Box]) -> Tuple[np.ndarray, np.ndarray]:
             continue
         sub_t[upd] = tmin[upd]
         best_i[v0:v1, u0:u1][upd] = i
-        best_axis[v0:v1, u0:u1][upd] = ax[upd]
-        d_ax = np.take_along_axis(d, ax[..., None], -1)[..., 0]
-        best_sign[v0:v1, u0:u1][upd] = np.where(d_ax[upd] > 0, -1, 1)
+        # slab axis + ray sign only at the updated pixels (subset argmax has
+        # the same first-max tie-break as the full-rect argmax at those rows)
+        ax_u = lo[upd].argmax(-1)
+        best_axis[v0:v1, u0:u1][upd] = ax_u
+        d_ax_u = d[upd][np.arange(ax_u.shape[0]), ax_u]
+        best_sign[v0:v1, u0:u1][upd] = np.where(d_ax_u > 0, -1, 1)
+
+
+def render(camera, boxes: List[Box], n_static: int = 0,
+           cache_key=None) -> Tuple[np.ndarray, np.ndarray]:
+    """Ray-cast ``boxes`` through ``camera`` -> (rgb uint8 HxWx3, depth f32 HxW).
+
+    Rays are parameterized with camera-z component 1, so the hit parameter t
+    equals the +z camera-axis depth directly (the convention
+    ``PinholeCamera.deproject`` consumes). Each box is slab-tested only inside
+    its projected pixel bounding rectangle, so small fixtures cost almost
+    nothing.
+
+    When ``cache_key`` is given (a FIXED camera — never a moving one), the
+    raycast of ``boxes[:n_static]`` is computed once and replayed from cache,
+    so per-frame work is only the moving boxes. The cache key also hashes the
+    static boxes' geometry, so a changed layout invalidates naturally.
+    """
+    H, W = camera.height, camera.width
+    K = camera.K.astype(np.float32)
+    T = camera.T_world_cam.astype(np.float32)
+    Tcw = camera.T_cam_world.astype(np.float32)
+    R, t0 = T[:3, :3], T[:3, 3]
+    dirs_cam = _ray_grid(camera)                      # (H, W, 3)
+    dirs = dirs_cam @ R.T                             # (H, W, 3) world
+
+    cached = None
+    if cache_key is not None and n_static > 0:
+        geo = np.concatenate([np.concatenate([b.center32, b.half32, [b.yaw]])
+                              for b in boxes[:n_static]]).astype(np.float32)
+        full_key = (cache_key, W, H, K.tobytes(), T.tobytes(), geo.tobytes())
+        cached = _STATIC_RAY_CACHE.get(full_key)
+
+    if cached is not None:
+        best_t = cached[0].copy()
+        best_i = cached[1].copy()
+        best_axis = cached[2].copy()
+        best_sign = cached[3].copy()
+        start = n_static
+    else:
+        best_t = np.full((H, W), np.inf, np.float32)
+        best_i = np.full((H, W), -1, np.int16)
+        best_axis = np.zeros((H, W), np.int8)
+        best_sign = np.zeros((H, W), np.int8)
+        start = 0
+        if cache_key is not None and n_static > 0:
+            _cast_boxes(boxes[:n_static], 0, dirs, t0, Tcw, K, W, H,
+                        best_t, best_i, best_axis, best_sign)
+            _STATIC_RAY_CACHE[full_key] = (best_t.copy(), best_i.copy(),
+                                           best_axis.copy(), best_sign.copy())
+            if len(_STATIC_RAY_CACHE) > 16:
+                _STATIC_RAY_CACHE.pop(next(iter(_STATIC_RAY_CACHE)))
+            start = n_static
+            # fallthrough: dynamic boxes cast below into the live buffers
+
+    _cast_boxes(boxes, start, dirs, t0, Tcw, K, W, H,
+                best_t, best_i, best_axis, best_sign)
 
     hit = best_i >= 0
-    colors = np.stack([b.color for b in boxes]).astype(np.float32)
+    colors = np.stack([b.color32 for b in boxes])
     yaws = np.array([b.yaw for b in boxes], np.float32)
 
     # Lambert shade from the hit-slab normal, rotated to world by the box yaw
