@@ -14,7 +14,12 @@ hulc2/affordance/models/lang_fusion/aff_lang_depth_pixel.py:10):
 
 Language conditioning enters as a precomputed sentence embedding (CLIP/SBERT/
 BERT towers — see hulc2_tpu.models.language); dim defaults to CLIP-RN50's
-1024.
+1024. Alternatively (``text_tower=True``) the detector nests its own small
+CLIP-BPE text transformer and consumes raw token ids — the affordance-side
+analogue of the policy's in-graph ``language_encoder`` group, trained jointly
+from scratch, so the flagship pipeline needs no external (or stub) embedding
+table anywhere (the reference's affordance lang encoders are frozen external
+towers, hulc2/affordance/models/language_encoders/*.py).
 """
 from __future__ import annotations
 
@@ -44,12 +49,32 @@ class AffordanceDetector(nn.Module):
     normalize_depth: bool = True
     freeze_encoder: bool = True
     compute_dtype: Optional[str] = None  # "bfloat16" -> bf16 decoder compute
+    # in-graph language tower: lang input is (B, L) int32 CLIP-BPE token ids,
+    # embedded to lang_embed_dim by a small trainable text transformer
+    text_tower: bool = False
+    tower_width: int = 256
+    tower_heads: int = 4
+    tower_layers: int = 2
 
     @nn.compact
     def __call__(self, img: jnp.ndarray, lang: jnp.ndarray, train: bool = False) -> AffordanceOutput:
         b, h, w, _ = img.shape
         import jax.numpy as _jnp
 
+        if self.text_tower:
+            from hulc2_tpu.models.clip_text import ClipTextTransformer
+
+            assert jnp.issubdtype(lang.dtype, jnp.integer), (
+                f"text_tower detector expects int token ids, got {lang.dtype}"
+            )
+            lang = ClipTextTransformer(
+                width=self.tower_width,
+                heads=self.tower_heads,
+                layers=self.tower_layers,
+                output_dim=self.lang_embed_dim,
+                frozen=False,
+                name="lang_tower",
+            )(lang)
         logits, bottleneck = LingUNet(
             self.encoder_name,
             self.decoder_channels,
@@ -170,6 +195,8 @@ class AffordancePredictor:
         self.lang_table = lang_table or {}
         self._key = jax.random.PRNGKey(seed)
         self._n = 0
+        # token-tower models consume CLIP-BPE token ids instead of embeddings
+        self.uses_tokens = bool(getattr(model, "text_tower", False))
 
         @jax.jit
         def _predict(variables, img, lang, key):
@@ -187,7 +214,9 @@ class AffordancePredictor:
                     f"no affordance language embedding for caption {lang_emb!r} — "
                     "provide a lang_table (caption -> embedding) to AffordancePredictor"
                 ) from None
-        return np.asarray(lang_emb, np.float32)
+        lang_emb = np.asarray(lang_emb)
+        # token-tower models consume int32 token ids; keep them integral
+        return lang_emb if np.issubdtype(lang_emb.dtype, np.integer) else lang_emb.astype(np.float32)
 
     def predict(self, img_uint8: np.ndarray, lang_emb) -> Dict:
         return self.predict_batch([img_uint8], [lang_emb])[0]

@@ -39,6 +39,10 @@ def build_detector(aff_cfg: dict):
         normalize_depth=aff_cfg.get("normalize_depth", True),
         freeze_encoder=aff_cfg.get("freeze_encoder", True),
         compute_dtype=aff_cfg.get("compute_dtype") or None,
+        text_tower=aff_cfg.get("text_tower", False),
+        tower_width=aff_cfg.get("tower_width", 256),
+        tower_heads=aff_cfg.get("tower_heads", 4),
+        tower_layers=aff_cfg.get("tower_layers", 2),
     )
 
 
@@ -135,24 +139,34 @@ def train(overrides=(), max_epochs: Optional[int] = None, max_steps: Optional[in
         datasets = {
             s: SyntheticAffordanceDataset(n_synthetic if s == "training" else 8, img_hw,
                                           aff_cfg["lang_embed_dim"], seed=i,
-                                          label_type=label_type)
+                                          label_type=label_type,
+                                          lang_tokens=aff_cfg.get("text_tower", False))
             for i, s in enumerate(("training", "validation"))
         }
         depth_norm = DepthNorm()
     else:
         # mined frames store annotation STRINGS; the training batch needs a
-        # fixed-size "lang" vector. Without an external language tower in
-        # this environment the deterministic hash embedding is the (gated)
-        # stand-in — the same table the policy-side annotator used, so
-        # train-time and eval-time vectors for a sentence agree.
-        from hulc2_tpu.tools.auto_lang_annotator import (
-            hash_embed,
-            require_stub_embeddings_ok,
-        )
+        # fixed-size "lang" value.
+        if aff_cfg.get("text_tower"):
+            # in-graph token tower (detector.py): tokenize to CLIP-BPE ids,
+            # the tower embeds them INSIDE the jitted step and trains jointly
+            # — no external or stub embedding table anywhere
+            from hulc2_tpu.utils.clip_tokenizer import tokenize
 
-        require_stub_embeddings_ok("train_affordance")
-        dim = aff_cfg["lang_embed_dim"]
-        embedder = lambda s: hash_embed([s], dim)[0]  # noqa: E731
+            embedder = lambda s: tokenize([s])[0]  # noqa: E731
+        else:
+            # Without an external language tower in this environment the
+            # deterministic hash embedding is the (gated) stand-in — the same
+            # table the policy-side annotator used, so train-time and
+            # eval-time vectors for a sentence agree.
+            from hulc2_tpu.tools.auto_lang_annotator import (
+                hash_embed,
+                require_stub_embeddings_ok,
+            )
+
+            require_stub_embeddings_ok("train_affordance")
+            dim = aff_cfg["lang_embed_dim"]
+            embedder = lambda s: hash_embed([s], dim)[0]  # noqa: E731
         datasets = {
             s: AffordanceDataset(
                 aff_cfg["dataset"]["data_dir"], s, aff_cfg["dataset"]["cam"], img_hw,
@@ -240,9 +254,10 @@ class SyntheticAffordanceDataset:
     """Shape-correct random affordance frames (smoke/bench)."""
 
     def __init__(self, n: int, hw: int, lang_dim: int, seed: int = 0,
-                 label_type: str = "pixel"):
+                 label_type: str = "pixel", lang_tokens: bool = False):
         self.n, self.hw, self.lang_dim, self.seed = n, hw, lang_dim, seed
         self.label_type = label_type
+        self.lang_tokens = lang_tokens
 
     def __len__(self):
         return self.n
@@ -250,12 +265,17 @@ class SyntheticAffordanceDataset:
     def __getitem__(self, i):
         rng = np.random.default_rng((self.seed, i))
         px = rng.integers(0, self.hw, 2).astype(np.int32)
+        lang = (
+            rng.integers(1, 1000, 77).astype(np.int32)  # token-tower smoke ids
+            if self.lang_tokens
+            else rng.standard_normal(self.lang_dim).astype(np.float32)
+        )
         out = {
             "frame": rng.integers(0, 256, (self.hw, self.hw, 3), np.uint8),
             "px": px,
             "depth": np.float32(rng.uniform(1.3, 4.5)),
             "normalized_depth": np.float32(rng.standard_normal()),
-            "lang": rng.standard_normal(self.lang_dim).astype(np.float32),
+            "lang": lang,
             "idx": np.int64(i),
         }
         if self.label_type == "mask":

@@ -124,6 +124,16 @@ def _aff_variant(encoder_name, lang_dim, label_type="pixel", **extra):
 
 
 register("aff_detection", "rn18_bert_pixel", _aff_variant("resnet18", 768))
+# in-graph token tower (detector.text_tower): the detector embeds CLIP-BPE
+# token ids with its own small trainable text transformer — no external (or
+# stub) embedding table in the pipeline; the affordance analogue of the
+# policy's model/language_encoder=clip_scratch path
+register(
+    "aff_detection",
+    "rn18_tokens_pixel",
+    _aff_variant("resnet18", 384, text_tower=True, tower_width=256,
+                 tower_heads=4, tower_layers=2),
+)
 register("aff_detection", "rn18_clip_pixel", _aff_variant("resnet18", 1024))
 register("aff_detection", "rn18_sbert_pixel", _aff_variant("resnet18", 384))
 register("aff_detection", "rn50_bert_pixel", _aff_variant("resnet50", 768))

@@ -178,6 +178,26 @@ register(
         "frozen": False,
     },
 )
+# from-scratch in-graph tower: CLIP-base is 38M params — far too big to train
+# from scratch on a ~400-sentence annotation bank; this small trainable tower
+# (2 layers x 256) learns compositional sentence embeddings jointly with the
+# policy (the reference's load_lang_embeddings=false role,
+# hulc2/models/hulc2.py:87-89 + npz_dataset.py:178-181) and generalizes to
+# held-out paraphrases through shared token embeddings
+register(
+    "model/language_encoder",
+    "clip_scratch",
+    {
+        "_name_": "clip_text",
+        "width": 256,
+        "heads": 4,
+        "layers": 2,
+        "output_dim": 384,
+        "vocab_size": 49408,
+        "context_length": 77,
+        "frozen": False,
+    },
+)
 
 register(
     "model/language_goal",

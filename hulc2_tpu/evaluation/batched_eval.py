@@ -67,7 +67,7 @@ class _EnvJob:
     """Per-env chain cursor."""
 
     __slots__ = ("chain", "subtask_idx", "steps_left", "start_info", "done", "result",
-                 "job_idx", "approach")
+                 "job_idx", "approach", "approach_steps")
 
     def __init__(self, job_idx: int, chain: Sequence[str]):
         self.job_idx = job_idx
@@ -80,6 +80,7 @@ class _EnvJob:
         # hierarchical mode: in-flight PD approach controller (policy actions
         # are ignored until it reports done)
         self.approach = None
+        self.approach_steps = 0  # PD steps spent on the CURRENT subtask
 
 
 class _Cohort:
@@ -118,11 +119,12 @@ class _Cohort:
         robot_obs, scene_obs = get_env_state_for_initial_condition(dict(initial_state))
         self.obs[i] = self.farm.envs[i].reset(robot_obs=robot_obs, scene_obs=scene_obs)
         self.begin_subtask(i, job)
-        self.goals[i] = self.ev.goal_for(job.chain[0])
+        self.goals[i] = self.ev.goal_for(job.chain[0], job.job_idx)
         return True
 
     def begin_subtask(self, i: int, job: _EnvJob):
         job.steps_left = self.ev.ep_len
+        job.approach_steps = 0
         job.start_info = self.farm.envs[i].get_info()
         self.agent.reset_env_slot(i)
         # hierarchical mode (reference: lmp_agent.py:195-235): queue an
@@ -143,7 +145,9 @@ class _Cohort:
         if any(o is None for o in self.obs):
             self.obs = [o if o is not None else e.get_obs()
                         for o, e in zip(self.obs, self.farm.envs)]
+        t0 = time.perf_counter()
         self.ev.flush_approaches()  # resolve queued affordance queries first
+        self.ev.timings["aff_flush_s"] += time.perf_counter() - t0
         self._pd_actions = [None] * self.k
         for i in range(self.k):
             job = self.jobs[i]
@@ -156,8 +160,10 @@ class _Cohort:
                 self.agent.reset_env_slot(i)
             else:
                 self._pd_actions[i] = a
+        t0 = time.perf_counter()
         stacked = type(self.farm).stack_obs(self.obs)
         device_actions = self.agent.step_async(stacked, {"lang": self.goals})
+        self.ev.timings["dispatch_submit_s"] += time.perf_counter() - t0
         # pull the result in a worker thread: on a tunneled chip the D2H
         # fetch is a lazy request/response round-trip (~tens of ms) even when
         # the result is long computed — threading it overlaps that RTT with
@@ -168,7 +174,9 @@ class _Cohort:
     def settle(self):
         """Block on the in-flight dispatch, step the host sims, and advance
         the per-env job bookkeeping. Returns the number of env steps taken."""
+        t0 = time.perf_counter()
         actions = self.pending.get()
+        self.ev.timings["fetch_wait_s"] += time.perf_counter() - t0
         self.pending = None
         if actions.ndim == 1:
             actions = actions[None]
@@ -177,8 +185,11 @@ class _Cohort:
             if pd is not None and self.jobs[i] is not None:
                 acts[i] = pd
                 self.ev.n_approach_steps += 1
+                self.jobs[i].approach_steps += 1
         # parallel across worker processes for ProcessEnvFarm, serial otherwise
+        t0 = time.perf_counter()
         obs_list, infos = self.farm.step_all(acts)
+        self.ev.timings["sim_step_s"] += time.perf_counter() - t0
         self.obs = list(obs_list)
         oracle = self.ev.oracle
         for i in range(self.k):
@@ -194,14 +205,16 @@ class _Cohort:
             hit = subtask in oracle.get_task_info_for_set(job.start_info, infos[i], [subtask])
             advance_chain = False
             if hit:
+                self.ev.record_subtask(job, subtask, True)
                 job.result += 1
                 job.subtask_idx += 1
                 if job.subtask_idx >= len(job.chain):
                     advance_chain = True
                 else:
                     self.begin_subtask(i, job)
-                    self.goals[i] = self.ev.goal_for(job.chain[job.subtask_idx])
+                    self.goals[i] = self.ev.goal_for(job.chain[job.subtask_idx], job.job_idx)
             elif job.steps_left <= 0:
+                self.ev.record_subtask(job, subtask, False)
                 advance_chain = True
             if advance_chain:
                 self.ev.finish_job(job)
@@ -228,11 +241,19 @@ class PipelinedEvaluator:
         aff_lang_embeddings: Optional[Dict[str, np.ndarray]] = None,
         move_threshold_px: float = 15.0,
         approach_offset=(0.0, 0.0, 0.1),
+        lang_variants: Optional[Dict[str, Sequence[np.ndarray]]] = None,
+        aff_lang_variants: Optional[Dict[str, Sequence[np.ndarray]]] = None,
     ):
         self.ep_len = ep_len
         self.oracle = oracle or SceneObsTaskOracle()
         self.lang = lang_embeddings
         self.task_to_ann = task_to_annotation or {}
+        # paraphrase-generalization protocol: when given, each chain's goal
+        # for a subtask rotates through the task's held-out instruction
+        # variants (job_idx % n_variants) instead of the single canonical
+        # goal — every held-out phrasing gets equal coverage across chains
+        self.lang_variants = lang_variants
+        self.aff_lang_variants = aff_lang_variants
         sample_goal = np.asarray(next(iter(lang_embeddings.values())))
         self.goal_dim = int(sample_goal.shape[-1])
         # float32 sentence embeddings, or int32 BPE token ids for policies
@@ -256,6 +277,17 @@ class PipelinedEvaluator:
         self._next_job = 0
         self._results: List[int] = []
         self._completed = 0
+        # diagnostics (VERDICT r4 #3/#6): per-subtask outcome records for
+        # failure-mode histograms, and a wall-clock stage decomposition so
+        # protocol runs report WHERE the time goes (sim+render vs dispatch
+        # RTT vs affordance flush) plus a per-throughput-window curve that
+        # exposes the tail-drain decline
+        self.subtask_records: List[dict] = []
+        self.timings: Dict[str, float] = {
+            "fetch_wait_s": 0.0, "sim_step_s": 0.0,
+            "aff_flush_s": 0.0, "dispatch_submit_s": 0.0,
+        }
+        self.throughput_curve: List[dict] = []
 
     # ---- shared queue ------------------------------------------------- #
     def take_job(self) -> Optional[int]:
@@ -270,9 +302,28 @@ class PipelinedEvaluator:
         job.done = True
         self._completed += 1
 
-    def goal_for(self, subtask: str) -> np.ndarray:
+    def record_subtask(self, job: _EnvJob, subtask: str, success: bool) -> None:
+        self.subtask_records.append({
+            "chain": job.job_idx,
+            "pos": job.subtask_idx,
+            "task": subtask,
+            "success": bool(success),
+            "policy_steps": int(self.ep_len - job.steps_left),
+            "approach_steps": int(job.approach_steps),
+        })
+
+    def goal_for(self, subtask: str, job_idx: int = 0) -> np.ndarray:
+        if self.lang_variants:
+            v = self.lang_variants[subtask]
+            return np.asarray(v[job_idx % len(v)], self.goal_dtype)
         key = self.task_to_ann.get(subtask, subtask)
         return np.asarray(self.lang[key], self.goal_dtype)
+
+    def aff_goal_for(self, subtask: str, job_idx: int = 0) -> np.ndarray:
+        if self.aff_lang_variants:
+            v = self.aff_lang_variants[subtask]
+            return np.asarray(v[job_idx % len(v)])
+        return np.asarray(self.aff_lang[self.task_to_ann.get(subtask, subtask)])
 
     # ---- hierarchical (affordance) mode -------------------------------- #
     def _camera(self, env):
@@ -300,7 +351,7 @@ class PipelinedEvaluator:
         if not self._aff_pending:
             return
         reqs, self._aff_pending = self._aff_pending, []
-        langs = [self.aff_lang[self.task_to_ann.get(t, t)] for _, _, _, t in reqs]
+        langs = [self.aff_goal_for(t, job.job_idx) for _, _, job, t in reqs]
         imgs = [obs["rgb_obs"]["rgb_static"] for _, obs, _, _ in reqs]
         if len(reqs) > 1 and hasattr(self.affordance, "predict_batch"):
             preds = self.affordance.predict_batch(imgs, langs)
@@ -360,6 +411,9 @@ class PipelinedEvaluator:
         t0 = time.time()
         n_steps = 0
         last_log = 0
+        curve_every = max(50, n_jobs // 20)
+        next_curve = curve_every
+        prev_curve = (0, 0.0)  # (n_steps, elapsed) at the last curve point
         while self._completed < n_jobs:
             for c in self.cohorts:
                 if c.pending is None:
@@ -373,9 +427,23 @@ class PipelinedEvaluator:
                 logger.info("[%d/%d chains] %.0f env-steps/s (%d envs, %d cohorts)",
                             self._completed, n_jobs, rate, sum(c.k for c in self.cohorts),
                             len(self.cohorts))
+            if self._completed >= next_curve:
+                el = time.time() - t0
+                self.throughput_curve.append({
+                    "chains_done": self._completed,
+                    "elapsed_s": round(el, 1),
+                    "window_env_steps_per_s": round(
+                        (n_steps - prev_curve[0]) / max(el - prev_curve[1], 1e-9), 1),
+                })
+                prev_curve = (n_steps, el)
+                next_curve += curve_every
         dt = time.time() - t0
+        self.total_env_steps = n_steps
+        self.wall_clock_s = dt
         logger.info("batched eval: %d chains in %.1f s (%.0f env-steps/s)",
                     n_jobs, dt, n_steps / max(dt, 1e-9))
+        logger.info("stage timings (s, summed over cohorts): %s",
+                    {k: round(v, 1) for k, v in self.timings.items()})
         return list(self._results)
 
 

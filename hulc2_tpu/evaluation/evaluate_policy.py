@@ -49,6 +49,57 @@ def load_lang_embeddings(dataset_path: Path, lang_folder: str):
     )
 
 
+def save_eval_diagnostics(ev, log_dir: Path, args, sequences) -> None:
+    """Write eval_diagnostics.json next to results.json: per-subtask outcome
+    records + per-task failure-mode histogram (VERDICT r4 next #3), the
+    wall-clock stage decomposition and tail-drain throughput curve (next #6),
+    and the hierarchical-mode counters."""
+    import json
+
+    per_task: dict = {}
+    for r in ev.subtask_records:
+        d = per_task.setdefault(r["task"], {
+            "attempts": 0, "successes": 0, "policy_steps_on_success": [],
+            "approach_steps_mean": 0.0,
+        })
+        d["attempts"] += 1
+        d["approach_steps_mean"] += r["approach_steps"]
+        if r["success"]:
+            d["successes"] += 1
+            d["policy_steps_on_success"].append(r["policy_steps"])
+    for t, d in per_task.items():
+        n_ok = len(d["policy_steps_on_success"])
+        d["sr"] = round(d["successes"] / max(d["attempts"], 1), 3)
+        d["mean_policy_steps_on_success"] = (
+            round(float(np.mean(d["policy_steps_on_success"])), 1) if n_ok else None
+        )
+        d["approach_steps_mean"] = round(d["approach_steps_mean"] / max(d["attempts"], 1), 1)
+        del d["policy_steps_on_success"]
+    diag = {
+        "num_sequences": len(sequences),
+        "ep_len": args.ep_len,
+        "n_envs": args.n_envs,
+        "cohorts": args.cohorts,
+        "paraphrase_eval": bool(getattr(args, "paraphrase_eval", False)),
+        "wall_clock_s": round(getattr(ev, "wall_clock_s", 0.0), 1),
+        "total_env_steps": int(getattr(ev, "total_env_steps", 0)),
+        "timings_s": {k: round(v, 1) for k, v in ev.timings.items()},
+        "throughput_curve": ev.throughput_curve,
+        "hierarchical": {
+            "aff_predictions": ev.n_aff_predictions,
+            "approaches": ev.n_approaches,
+            "approach_steps": ev.n_approach_steps,
+        },
+        "per_task": dict(sorted(per_task.items(), key=lambda kv: kv[1]["sr"])),
+        "subtask_records": ev.subtask_records,
+    }
+    log_dir = Path(log_dir)
+    log_dir.mkdir(parents=True, exist_ok=True)
+    (log_dir / "eval_diagnostics.json").write_text(json.dumps(diag, indent=1))
+    logger.info("per-task SR (worst 8): %s",
+                {t: d["sr"] for t, d in list(diag["per_task"].items())[:8]})
+
+
 def make_policy_rollout_fn(agent, oracle, task_to_annotation, lang_embeddings, ep_len: int):
     """rollout_fn(env, subtask) -> bool: reset agent for the instruction and
     run up to ep_len policy steps, checking the oracle after every step
@@ -110,6 +161,13 @@ def main(argv=None):
                         "matching the affordance model's language encoder; "
                         "defaults to the dataset's validation embeddings when "
                         "the dimensions match")
+    p.add_argument("--paraphrase-eval", action="store_true",
+                   help="paraphrase-generalization protocol: instructions are "
+                        "drawn from each task's HELD-OUT paraphrases "
+                        "(tools.annotations.heldout_annotations) — sentences "
+                        "excluded from training annotation sampling. Requires "
+                        "a policy with an in-graph language tower (it must "
+                        "encode sentences it never saw)")
     args = p.parse_args(argv)
 
     from hulc2_tpu.envs.task_oracle import make_oracle
@@ -171,13 +229,30 @@ def main(argv=None):
 
         rng = np.random.default_rng(0)
         task_to_ann = {}
-        if (cfg["model"].get("language_encoder") or {}).get("_name_") == "clip_text":
-            # in-graph tower: goals must be BPE token ids, not float vectors
+        lang_variants = aff_lang_variants = None
+        policy_uses_tokens = (
+            (cfg["model"].get("language_encoder") or {}).get("_name_") == "clip_text"
+        )
+        if args.paraphrase_eval and not policy_uses_tokens:
+            p.error("--paraphrase-eval needs a policy with an in-graph language "
+                    "tower (model/language_encoder=clip*): an embedding-table "
+                    "policy cannot encode sentences it never saw")
+        if policy_uses_tokens:
+            # in-graph tower: goals are BPE token ids of the CANONICAL
+            # validation sentence per task (the same phrasing the validation
+            # bank pins — reference conf/annotations/new_playtable_validation);
+            # --paraphrase-eval swaps in the held-out paraphrases instead
+            from hulc2_tpu.tools.annotations import VALIDATION_BANK, heldout_annotations
             from hulc2_tpu.utils.clip_tokenizer import tokenize
 
             lang_embeddings = {
-                t: np.asarray(tokenize([t.replace("_", " ")])[0]) for t in TASK_NAMES
+                t: np.asarray(tokenize([VALIDATION_BANK[t]])[0]) for t in TASK_NAMES
             }
+            if args.paraphrase_eval:
+                lang_variants = {
+                    t: [np.asarray(tokenize([s])[0]) for s in heldout_annotations(t)]
+                    for t in TASK_NAMES
+                }
         elif args.dataset_path:
             # trained-checkpoint eval: the goal vector per task must be the
             # SAME embedding training saw (the dataset's canonical
@@ -190,7 +265,20 @@ def main(argv=None):
         aff_lang = None
         if affordance is not None:
             dim = affordance.model.lang_embed_dim
-            if args.aff_lang_embeddings:
+            if affordance.uses_tokens:
+                # token-tower affordance model: same sentences as the policy,
+                # as CLIP-BPE ids (no embedding table anywhere)
+                from hulc2_tpu.tools.annotations import VALIDATION_BANK, heldout_annotations
+                from hulc2_tpu.utils.clip_tokenizer import tokenize
+
+                aff_lang = {t: np.asarray(tokenize([VALIDATION_BANK[t]])[0])
+                            for t in TASK_NAMES}
+                if args.paraphrase_eval:
+                    aff_lang_variants = {
+                        t: [np.asarray(tokenize([s])[0]) for s in heldout_annotations(t)]
+                        for t in TASK_NAMES
+                    }
+            elif args.aff_lang_embeddings:
                 ann_emb, t2a = load_lang_embeddings_file(Path(args.aff_lang_embeddings))
                 aff_lang = {t: np.asarray(ann_emb[a], np.float32) for t, a in t2a.items()}
             elif task_to_ann:
@@ -241,7 +329,9 @@ def main(argv=None):
             shared_step = shared_step or agent._fused_step
             cohorts.append((farm, agent))
         ev = PipelinedEvaluator(cohorts, lang_embeddings, ep_len=args.ep_len, oracle=oracle,
-                                affordance=affordance, aff_lang_embeddings=aff_lang)
+                                affordance=affordance, aff_lang_embeddings=aff_lang,
+                                lang_variants=lang_variants,
+                                aff_lang_variants=aff_lang_variants)
         results = ev.evaluate(sequences=sequences)
         if affordance is not None:
             logger.info("hierarchical mode: %d affordance predictions, %d approaches, "
@@ -249,6 +339,7 @@ def main(argv=None):
                         ev.n_approach_steps)
         step = args.checkpoint if args.checkpoint is not None else "latest"
         merged = harness.print_and_save({str(step): results}, log_dir, sequences=sequences)
+        save_eval_diagnostics(ev, log_dir, args, sequences)
         logger.info("evaluation wall-clock: %.1f s", time.time() - t0)
         return merged
 
@@ -306,15 +397,30 @@ def main(argv=None):
                                    n_envs=size, fused_step=shared_step)
                 shared_step = shared_step or agent._fused_step
                 cohorts.append((farm, agent))
+            lang_variants = aff_lang_variants = None
             if (cfg["model"].get("language_encoder") or {}).get("_name_") == "clip_text":
                 # in-graph tower: goals are BPE token ids of the annotations
                 from hulc2_tpu.utils.clip_tokenizer import tokenize
 
                 ann_to_emb = {task: tokenize([ann])[0] for task, ann in task_to_ann.items()}
+                if args.paraphrase_eval:
+                    from hulc2_tpu.tools.annotations import heldout_annotations
+
+                    lang_variants = {
+                        t: [np.asarray(tokenize([s])[0]) for s in heldout_annotations(t)]
+                        for t in task_to_ann
+                    }
+                    if affordance is not None and affordance.uses_tokens:
+                        aff_lang_variants = lang_variants
+            elif args.paraphrase_eval:
+                p.error("--paraphrase-eval needs a policy with an in-graph "
+                        "language tower (model/language_encoder=clip*)")
             else:
                 ann_to_emb = {task: lang_embeddings[ann] for task, ann in task_to_ann.items()}
             ev = PipelinedEvaluator(cohorts, ann_to_emb, ep_len=args.ep_len, oracle=oracle,
-                                    affordance=affordance, aff_lang_embeddings=aff_task_table)
+                                    affordance=affordance, aff_lang_embeddings=aff_task_table,
+                                    lang_variants=lang_variants,
+                                    aff_lang_variants=aff_lang_variants)
             try:
                 results = ev.evaluate(sequences=sequences)
             finally:
@@ -327,6 +433,7 @@ def main(argv=None):
                             ev.n_approach_steps)
             step = args.checkpoint if args.checkpoint is not None else "latest"
             merged = harness.print_and_save({str(step): results}, log_dir, sequences=sequences)
+            save_eval_diagnostics(ev, log_dir, args, sequences)
             logger.info("evaluation wall-clock: %.1f s", time.time() - t0)
             return merged
         env = CalvinEnvWrapper(make_calvin_env(args.dataset_path, show_gui=False))

@@ -123,10 +123,15 @@ def load_affordance(run_dir, step: Optional[int] = None, lang_table=None, seed: 
     aff_cfg = cfg["aff_detection"]
     model = build_detector(aff_cfg)
     img_hw = aff_cfg["dataset"]["img_resize"][aff_cfg["dataset"]["cam"]]
+    lang_template = (
+        jnp.zeros((1, 77), jnp.int32)  # token-tower models take CLIP-BPE ids
+        if aff_cfg.get("text_tower")
+        else jnp.zeros((1, aff_cfg["lang_embed_dim"]), jnp.float32)
+    )
     template = jax.jit(lambda r, i, l: model.init(r, i, l, False))(
         jax.random.PRNGKey(0),
         jnp.zeros((1, img_hw, img_hw, 3), jnp.float32),
-        jnp.zeros((1, aff_cfg["lang_embed_dim"]), jnp.float32),
+        lang_template,
     )
     state_template = {"params": template["params"],
                       "batch_stats": template.get("batch_stats", {})}

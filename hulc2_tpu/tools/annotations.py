@@ -248,9 +248,27 @@ def build_validation_bank() -> Dict[str, str]:
 
 VALIDATION_BANK = build_validation_bank()
 
+# paraphrase-generalization protocol: hold out the LAST K paraphrases of each
+# task for evaluation only — training samples from the first 12-K (which
+# include the canonical phrasing at index 0). With a real (compositional)
+# language encoder, success on held-out phrasings measures semantic
+# generalization; the reference gets this property from frozen SBERT
+# (hulc2/models/encoders/language_network.py:13), here it must be LEARNED by
+# the in-graph tower.
+HOLDOUT_K = 4
 
-def sample_annotation(task: str, rng: np.random.Generator, validation: bool = False) -> str:
+
+def heldout_annotations(task: str, holdout_k: int = HOLDOUT_K) -> List[str]:
+    """The evaluation-only paraphrases for ``task`` (never sampled when
+    training data is annotated with the same ``holdout_k``)."""
+    return ANNOTATION_BANK[task][-holdout_k:]
+
+
+def sample_annotation(task: str, rng: np.random.Generator, validation: bool = False,
+                      holdout_k: int = 0) -> str:
     if validation:
         return VALIDATION_BANK[task]
     options = ANNOTATION_BANK[task]
+    if holdout_k:
+        options = options[: len(options) - holdout_k]
     return options[int(rng.integers(len(options)))]

@@ -60,8 +60,18 @@ def annotate_dataset(
     seed: int = 0,
     with_embeddings_lookup: bool = True,
     canonical: bool = False,
+    holdout_k: int = 0,
 ) -> dict:
-    """Write <data_dir>/<lang_folder>/auto_lang_ann.npy (+ embeddings.npy)."""
+    """Write <data_dir>/<lang_folder>/auto_lang_ann.npy (+ embeddings.npy).
+
+    ``embed_fn="tokens"`` stores CLIP-BPE token ids (int32) as the "emb"
+    field instead of float embeddings — the stub-free representation for
+    pipelines whose models carry their own in-graph text tower (policy
+    ``model/language_encoder=clip_scratch``, affordance ``text_tower``);
+    such models only read the annotation STRINGS / token ids, never a
+    precomputed embedding. ``holdout_k`` excludes the last K paraphrases of
+    every task from sampling (see tools.annotations.heldout_annotations) so
+    evaluation can use instructions the policy has never seen."""
     data_dir = Path(data_dir)
     split = data_dir.name if data_dir.name in ("training", "validation") else "training"
     ep_ids = load_ep_start_end_ids(data_dir, split)
@@ -77,13 +87,20 @@ def annotate_dataset(
     # hash stubs (paraphrases then share no structure, so training must see
     # the exact vectors evaluation will use).
     anns = [sample_annotation(h["task"], rng,
-                              validation=canonical or split == "validation")
+                              validation=canonical or split == "validation",
+                              holdout_k=holdout_k)
             for h in hits]
     tasks = [h["task"] for h in hits]
-    if embed_fn is None:  # deterministic hash-based stub embedding (384-d)
-        require_stub_embeddings_ok("auto_lang_annotator")
-        embed_fn = hash_embed
-    embs = np.asarray(embed_fn(anns), np.float32)[:, None, :]  # (N, 1, E)
+    if embed_fn == "tokens":
+        from hulc2_tpu.utils.clip_tokenizer import tokenize
+
+        embed_fn = lambda ss: tokenize(ss).astype(np.int32)  # noqa: E731
+        embs = embed_fn(anns)[:, None, :]  # (N, 1, L) int32
+    else:
+        if embed_fn is None:  # deterministic hash-based stub embedding (384-d)
+            require_stub_embeddings_ok("auto_lang_annotator")
+            embed_fn = hash_embed
+        embs = np.asarray(embed_fn(anns), np.float32)[:, None, :]  # (N, 1, E)
 
     lang_data = {
         "language": {"ann": anns, "task": tasks, "emb": embs},
@@ -95,14 +112,20 @@ def annotate_dataset(
 
     if with_embeddings_lookup:
         # canonical validation sentence per task -> embedding (evaluation
-        # lookup format; the reference builds this from the validation bank)
-        canonical = {t: VALIDATION_BANK[t] for t in TASK_NAMES}
+        # lookup format; the reference builds this from the validation bank);
+        # token-mode tables stay int32
+        canonical_bank = {t: VALIDATION_BANK[t] for t in TASK_NAMES}
         emb_lookup = {
-            t: {"ann": [s], "emb": np.asarray(embed_fn([s]), np.float32)}
-            for t, s in canonical.items()
+            t: {"ann": [s], "emb": _keep_dtype(embed_fn([s]))}
+            for t, s in canonical_bank.items()
         }
         np.save(out / "embeddings.npy", emb_lookup)
     return lang_data
+
+
+def _keep_dtype(a) -> np.ndarray:
+    a = np.asarray(a)
+    return a if np.issubdtype(a.dtype, np.integer) else a.astype(np.float32)
 
 
 def relabel_dataset(

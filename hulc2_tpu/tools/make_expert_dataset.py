@@ -85,6 +85,9 @@ def make_expert_dataset(
     lang_window: int = 64,
     lang_stride: int = 8,
     canonical_lang: bool = True,
+    lang_tokens: bool = False,
+    holdout_paraphrases: int = 0,
+    balance_tasks: bool = True,
 ) -> Path:
     """Write the dataset; returns the root path. Idempotent per split."""
     from hulc2_tpu.envs.fake_env import FakeCalvinEnv
@@ -133,7 +136,17 @@ def make_expert_dataset(
                 feasible = [t for t in TASK_NAMES if len(successor_states(sym, t)) == 1]
                 if not feasible:
                     break
-                task = feasible[int(rng.integers(len(feasible)))]
+                if balance_tasks:
+                    # inverse-count weighting: tasks whose preconditions are
+                    # rarely feasible (place_in_*/stack need a held block)
+                    # would be starved by a uniform draw — exactly the r4
+                    # eval floor tasks (place_in_drawer 4/53 attempts,
+                    # stack_block 4/48; VERDICT r4). Weighting each draw by
+                    # 1/(1+successes) keeps the executed-task histogram flat.
+                    w = np.asarray([1.0 / (1.0 + task_counts.get(t, 0)) for t in feasible])
+                    task = feasible[int(rng.choice(len(feasible), p=w / w.sum()))]
+                else:
+                    task = feasible[int(rng.integers(len(feasible)))]
                 if not expert.solve(task, recorder=writer):
                     fail_counts[task] = fail_counts.get(task, 0) + 1
                     consec_fails += 1
@@ -164,15 +177,19 @@ def make_expert_dataset(
         if fail_counts:
             logger.info("%s: expert failures: %s", split,
                         dict(sorted(fail_counts.items(), key=lambda kv: -kv[1])))
-        # language annotations from oracle-detected windows; the deterministic
-        # hash embedding is used for BOTH training and evaluation goals, so
-        # language conditioning is consistent (a distinct reproducible vector
-        # per sentence — task identity, not semantics; see docs note).
-        # canonical_lang pins ONE phrasing per task so the exact eval vectors
-        # appear in training (hash paraphrases share no structure).
+        # language annotations from oracle-detected windows.
+        # lang_tokens=True (the flagship path): annotations are stored as
+        # sentences + CLIP-BPE token ids for models with in-graph text towers
+        # — no stub embeddings anywhere; paraphrases sampled from the bank
+        # minus the held-out eval set. Otherwise the deterministic hash
+        # embedding keys train/eval goals consistently (task identity, not
+        # semantics), with canonical_lang pinning ONE phrasing per task so
+        # the exact eval vectors appear in training.
         annotate_dataset(d, window=lang_window, stride=lang_stride,
-                         embed_fn=hash_embed, seed=split_seed,
-                         canonical=canonical_lang)
+                         embed_fn="tokens" if lang_tokens else hash_embed,
+                         seed=split_seed,
+                         canonical=canonical_lang and not lang_tokens,
+                         holdout_k=holdout_paraphrases)
     return root
 
 
@@ -194,12 +211,26 @@ def main(argv=None):
                    help="sample paraphrases from the full annotation bank "
                         "instead of one canonical phrasing per task (use with "
                         "a REAL language model, not hash embeddings)")
+    p.add_argument("--lang-tokens", action="store_true",
+                   help="annotate with sentences + CLIP-BPE token ids (for "
+                        "models with in-graph text towers; implies paraphrase "
+                        "sampling — the tower learns sentence structure)")
+    p.add_argument("--holdout-paraphrases", type=int, default=0,
+                   help="exclude the last K paraphrases per task from "
+                        "annotation sampling (evaluation-only sentences for "
+                        "the paraphrase-generalization protocol)")
+    p.add_argument("--no-balance-tasks", action="store_true",
+                   help="uniform feasible-task draws (r4 behavior) instead of "
+                        "inverse-count balancing")
     a = p.parse_args(argv)
     make_expert_dataset(a.root, a.episodes, a.tasks_per_episode, a.val_episodes,
                         a.val_tasks_per_episode, a.static_hw, a.gripper_hw,
                         a.noise, seed=a.seed, lang_window=a.lang_window,
                         lang_stride=a.lang_stride,
-                        canonical_lang=not a.paraphrase_lang)
+                        canonical_lang=not a.paraphrase_lang,
+                        lang_tokens=a.lang_tokens,
+                        holdout_paraphrases=a.holdout_paraphrases,
+                        balance_tasks=not a.no_balance_tasks)
 
 
 if __name__ == "__main__":
