@@ -101,7 +101,10 @@ class AffordanceDataset:
                 mask = mask[np.ix_(ri, ci)]
             out["mask"] = mask
         if self.lang_embedder is not None:
-            out["lang"] = np.asarray(self.lang_embedder(lang_ann), np.float32)
+            lang = np.asarray(self.lang_embedder(lang_ann))
+            # token embedders (text_tower models) return int32 CLIP-BPE ids —
+            # keep them integral; float embedders normalize to float32
+            out["lang"] = lang if np.issubdtype(lang.dtype, np.integer) else lang.astype(np.float32)
         else:
             out["lang_ann"] = lang_ann
         return out

@@ -141,16 +141,17 @@ def create_split_file(out_dir, mined: Dict[str, Dict], val_fraction: float = 0.1
     """episodes_split.json with depth norm values
     (reference: core/utils.py:195, find_norm_values.py)."""
     out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)  # 0-label mining creates no episode dirs
     info: Dict = {"training": {}, "validation": {}}
     all_depths: List[float] = []
     for split, data in mined.items():
         for ep, files in data["episodes"].items():
             info[split][ep] = {"static_cam": files}
         all_depths.extend(data["depths"])
-    if not info["validation"] and info["training"]:
-        # tail-split training episodes into validation
+    if not info["validation"] and len(info["training"]) > 1:
+        # tail-split training episodes into validation (never drain training)
         eps = sorted(info["training"])
-        n_val = max(1, int(len(eps) * val_fraction))
+        n_val = min(max(1, int(len(eps) * val_fraction)), len(eps) - 1)
         for ep in eps[-n_val:]:
             info["validation"][ep] = info["training"].pop(ep)
     d = np.asarray(all_depths) if all_depths else np.asarray([0.0, 1.0])

@@ -214,9 +214,13 @@ def train(overrides=(), max_epochs: Optional[int] = None, max_steps: Optional[in
                 mlog.log({k: float(v) for k, v in metrics.items()}, step_count, "train/")
             if max_steps and step_count >= max_steps:
                 break
-        # validation
-        vloader = BatchLoader(datasets["validation"], min(cfg["batch_size"], len(datasets["validation"])),
-                              shuffle=False, drop_last=True, num_threads=1)
+        # validation (tolerate an empty split — tiny mined datasets)
+        vloader = (
+            BatchLoader(datasets["validation"],
+                        min(cfg["batch_size"], len(datasets["validation"])),
+                        shuffle=False, drop_last=True, num_threads=1)
+            if len(datasets["validation"]) else ()
+        )
         sums, n = {}, 0
         for raw in vloader:
             key, sub = jax.random.split(key)

@@ -105,6 +105,8 @@ def make_expert_dataset(
     }
     init_states = enumerate_initial_states()
     for split, (n_eps, n_tasks, split_seed) in specs.items():
+        if n_eps <= 0:  # e.g. --val-episodes 0: nothing to write or annotate
+            continue
         d = root / split
         ids_file = d / "ep_start_end_ids.npy"
         if ids_file.exists():
