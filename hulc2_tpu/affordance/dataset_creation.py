@@ -73,6 +73,7 @@ def mine_labels(
     env=None,
     seed: int = 0,
     canonical_lang: bool = False,
+    holdout_k: int = 0,
 ) -> Dict:
     """Produce labeled static-cam frames for one split."""
     data_dir, out_dir = Path(data_dir), Path(out_dir)
@@ -105,7 +106,8 @@ def mine_labels(
             # (paraphrases would hash to unrelated vectors, so the eval-time
             # canonical sentence would be out-of-distribution)
             lang_ann = (
-                sample_annotation(sorted(done)[0], rng, validation=canonical_lang)
+                sample_annotation(sorted(done)[0], rng, validation=canonical_lang,
+                                  holdout_k=holdout_k)
                 if done else ""
             )
             # back-project into past static frames
@@ -169,17 +171,40 @@ def main(argv=None):
     p.add_argument("--cam-params", default=None, help="json with width,height,fx,fy,cx,cy,T_world_cam")
     p.add_argument("--canonical-lang", action="store_true",
                    help="pin labels to each task's canonical phrasing (hash-embedding runs)")
+    p.add_argument("--holdout-paraphrases", type=int, default=0,
+                   help="exclude the last K paraphrases per task from label "
+                        "annotations (match the play dataset's holdout so the "
+                        "paraphrase-eval sentences stay unseen by BOTH models)")
     args = p.parse_args(argv)
     if args.cam_params:
         cam = PinholeCamera.from_params(**json.loads(Path(args.cam_params).read_text()))
     else:
-        # CALVIN static-cam-like default; replace with the dataset's calibration
-        cam = PinholeCamera.from_params(200, 200, 200.0, 200.0, 100.0, 100.0)
+        # derive the camera from the dataset itself: frames generated by
+        # FakeCalvinEnv carry its static camera, whose intrinsics scale with
+        # the frame size (fx = 1.15*hw, cx = hw/2 — envs/fake_env.py). The
+        # old fixed 200px default mis-projected 96px datasets (fx 200 vs
+        # 110.4): interaction points landed at wrong pixels or outside the
+        # frame entirely (r4 mined 13.8k labels with a systematic offset the
+        # eval-time deprojection then inverted with the CORRECT camera).
+        cam = None
+        for split in ("training", "validation"):
+            d = Path(args.data_dir) / split
+            frames = sorted(d.glob("episode_*.npz")) if d.is_dir() else []
+            if frames:
+                hw = int(np.load(frames[0])["rgb_static"].shape[0])
+                from hulc2_tpu.envs.fake_env import FakeCalvinEnv
+
+                cam = FakeCalvinEnv(static_hw=hw, gripper_hw=hw).cameras[0]
+                logger.info("camera derived from %dpx dataset frames: fx=%.1f", hw, cam.K[0, 0])
+                break
+        if cam is None:
+            cam = PinholeCamera.from_params(200, 200, 200.0, 200.0, 100.0, 100.0)
     mined = {}
     for split in ("training", "validation"):
         if (Path(args.data_dir) / split).is_dir():
             mined[split] = mine_labels(Path(args.data_dir) / split, args.out_dir, cam, split,
-                                       canonical_lang=args.canonical_lang)
+                                       canonical_lang=args.canonical_lang,
+                                       holdout_k=args.holdout_paraphrases)
     create_split_file(args.out_dir, mined)
 
 
