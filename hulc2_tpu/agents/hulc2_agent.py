@@ -50,6 +50,7 @@ class Hulc2Agent(BaseAgent):
         fused_step=None,
         target_orn=None,
         offset=(0.0, 0.0, 0.1),
+        device_render: Optional[dict] = None,
     ):
         super().__init__(env, target_orn=target_orn, offset=offset)
         self.model = model
@@ -70,8 +71,28 @@ class Hulc2Agent(BaseAgent):
         self._rgb_keys = set(dm_cfg["observation_space"]["rgb_obs"])
         self._depth_keys = set(dm_cfg["observation_space"]["depth_obs"])
         # one jitted program per env step (transform + policy + binarize);
-        # shareable across cohort agents so the program compiles once
-        self._fused_step = fused_step or make_fused_policy_step(model, self._transform)
+        # shareable across cohort agents so the program compiles once.
+        # device_render={"static_hw": H, "gripper_hw": h}: the fake env's
+        # frames are rendered INSIDE the program from (scene_obs, robot_obs)
+        # — the host ships 39 floats/env instead of rendering + shipping
+        # ~30 KiB/env (envs/render_jax.py; the r4 protocol run's measured
+        # host floor)
+        self.device_render = device_render
+        if fused_step is not None:
+            self._fused_step = fused_step
+        elif device_render:
+            from hulc2_tpu.envs.render_jax import make_render_obs_fn
+            from hulc2_tpu.train.steps import make_fused_render_policy_step
+
+            render_fn = make_render_obs_fn(
+                int(device_render["static_hw"]), int(device_render["gripper_hw"]),
+                with_depth="depth_static" in self._depth_keys,
+            )
+            self._fused_step = make_fused_render_policy_step(
+                model, self._transform, render_fn, sorted(self._rgb_keys),
+                sorted(self._depth_keys))
+        else:
+            self._fused_step = make_fused_policy_step(model, self._transform)
         self._key = jax.random.PRNGKey(seed)
         self._step_idx = 0
         self._cam = None  # lazy host-side pinhole camera for the aff path
@@ -160,7 +181,15 @@ class Hulc2Agent(BaseAgent):
         and return the (async) device action array without blocking. Used by
         the pipelined evaluator to keep several cohorts' dispatches in flight
         while host simulators step."""
-        raw = self._obs_to_device(obs)
+        if self.device_render:
+            raw = {
+                "robot_obs": jnp.asarray(np.asarray(obs["robot_obs"], np.float32)
+                                         .reshape(self.n_envs, -1)),
+                "scene_obs": jnp.asarray(np.asarray(obs["scene_obs"], np.float32)
+                                         .reshape(self.n_envs, -1)),
+            }
+        else:
+            raw = self._obs_to_device(obs)
         if "lang" in goal:
             lang = np.asarray(goal["lang"])  # embeddings (f32) or BPE token ids (int)
             if lang.dtype.kind == "f":

@@ -150,10 +150,12 @@ class EnvFarm:
 
     @staticmethod
     def stack_obs(obs_list: Sequence[Dict]) -> Dict:
+        # image groups are absent in state-only obs (render_obs=False envs —
+        # the device-render eval path renders frames in-graph instead)
         out: Dict = {"rgb_obs": {}, "depth_obs": {}}
-        for cam in obs_list[0]["rgb_obs"]:
+        for cam in obs_list[0].get("rgb_obs", {}):
             out["rgb_obs"][cam] = np.stack([o["rgb_obs"][cam] for o in obs_list])
-        for cam in obs_list[0]["depth_obs"]:
+        for cam in obs_list[0].get("depth_obs", {}):
             out["depth_obs"][cam] = np.stack([o["depth_obs"][cam] for o in obs_list])
         out["robot_obs"] = np.stack([o["robot_obs"] for o in obs_list])
         out["scene_obs"] = np.stack([o["scene_obs"] for o in obs_list])

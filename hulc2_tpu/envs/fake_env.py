@@ -51,9 +51,15 @@ _DRAWER_POS = np.array([L.DRAWER_X, -0.40, L.DRAWER_BLOCK_Z])
 
 class FakeCalvinEnv:
     def __init__(self, static_hw: int = 200, gripper_hw: int = 84, seed: int = 0,
-                 step_delay_s: float = 0.0, interactive: bool = True):
+                 step_delay_s: float = 0.0, interactive: bool = True,
+                 render_obs: bool = True):
         self.static_hw = static_hw
         self.gripper_hw = gripper_hw
+        # render_obs=False: get_obs returns only the 39 state floats — for the
+        # device-render eval path, where frames are produced in-graph on the
+        # TPU (envs/render_jax.py) and the host render (the measured ~8 ms of
+        # every ~8.4 ms env step) is skipped entirely
+        self.render_obs = render_obs
         self.rng = np.random.default_rng(seed)
         self.robot_obs = NEUTRAL_ROBOT_OBS.copy()
         self.scene_obs = np.zeros(24)
@@ -135,6 +141,11 @@ class FakeCalvinEnv:
     def get_obs(self) -> Dict:
         from hulc2_tpu.envs.render import render, scene_boxes
 
+        if not self.render_obs:
+            return {
+                "robot_obs": self.robot_obs.copy(),
+                "scene_obs": self.scene_obs.copy(),
+            }
         boxes, n_static = scene_boxes(self.scene_obs, self.robot_obs, self._held)
         # the fixed static camera replays the fixtures' raycast from cache;
         # the gripper camera moves every frame, so no caching there

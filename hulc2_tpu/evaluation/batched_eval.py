@@ -342,7 +342,24 @@ class PipelinedEvaluator:
         ``flush_approaches`` before the next policy dispatch."""
         if self.affordance is None:
             return
-        self._aff_pending.append((env, obs, job, subtask))
+        self._aff_pending.append((env, self._ensure_frames(env, obs), job, subtask))
+
+    def _ensure_frames(self, env, obs: Dict) -> Dict:
+        """Device-render eval runs state-only envs (render_obs=False), but the
+        affordance query needs a static frame (+depth fallback). Render it
+        host-side from the obs state — only at subtask starts (a few per
+        chain), never in the per-step loop."""
+        if "rgb_obs" in obs and obs["rgb_obs"]:
+            return obs
+        from hulc2_tpu.envs.render import render, scene_boxes
+
+        boxes, n_static = scene_boxes(obs["scene_obs"], obs["robot_obs"])
+        rgb, depth = render(self._camera(env), boxes, n_static=n_static,
+                            cache_key="static")
+        out = dict(obs)
+        out["rgb_obs"] = {"rgb_static": rgb}
+        out["depth_obs"] = {"depth_static": depth}
+        return out
 
     def flush_approaches(self) -> None:
         """Resolve all queued affordance queries with ONE batched prediction
@@ -368,6 +385,7 @@ class PipelinedEvaluator:
         lmp_agent.py:195-235 'move only if the target is far')."""
         if self.affordance is None:
             return None
+        obs = self._ensure_frames(env, obs)
         key = self.task_to_ann.get(subtask, subtask)
         pred = self.affordance.predict(obs["rgb_obs"]["rgb_static"], self.aff_lang[key])
         self.n_aff_predictions += 1

@@ -161,6 +161,13 @@ def main(argv=None):
                         "matching the affordance model's language encoder; "
                         "defaults to the dataset's validation embeddings when "
                         "the dimensions match")
+    p.add_argument("--device-render", action="store_true",
+                   help="render observations INSIDE the policy's jitted "
+                        "program from (scene_obs, robot_obs) instead of on "
+                        "the host (fake env only; envs/render_jax.py, "
+                        "byte-identical raycast). Removes the measured host "
+                        "render floor (~8 ms/env-step on a 1-core host) and "
+                        "shrinks per-step H2D from ~30 KiB/env to 156 B/env")
     p.add_argument("--paraphrase-eval", action="store_true",
                    help="paraphrase-generalization protocol: instructions are "
                         "drawn from each task's HELD-OUT paraphrases "
@@ -322,10 +329,12 @@ def main(argv=None):
         cohorts, shared_step = [], None
         seed = 0
         for size in sizes:
-            farm = EnvFarm([FakeCalvinEnv(seed=seed + i, **env_hw) for i in range(size)])
+            farm = EnvFarm([FakeCalvinEnv(seed=seed + i, render_obs=not args.device_render,
+                                          **env_hw) for i in range(size)])
             seed += size
             agent = Hulc2Agent(farm, model, params, cfg["datamodule"],
-                               n_envs=size, fused_step=shared_step)
+                               n_envs=size, fused_step=shared_step,
+                               device_render=env_hw if args.device_render else None)
             shared_step = shared_step or agent._fused_step
             cohorts.append((farm, agent))
         ev = PipelinedEvaluator(cohorts, lang_embeddings, ep_len=args.ep_len, oracle=oracle,

@@ -173,3 +173,42 @@ def make_fused_policy_step(model: Hulc2, transform: Callable) -> Callable:
         return action, new_carry
 
     return step_fn
+
+
+def make_fused_render_policy_step(model: Hulc2, transform: Callable,
+                                  render_fn: Callable, rgb_keys, depth_keys) -> Callable:
+    """ONE dispatch per env step with the OBSERVATION RENDER inside the graph.
+
+    The fake env's frames are a pure function of (scene_obs, robot_obs), so
+    instead of the host rendering K frames (~8 ms/env on the 1-core eval
+    harness — the measured wall-clock floor of the r4 protocol run) and
+    shipping ~K·30 KiB over the tunnel per step, the host ships K·39 floats and
+    this program renders, preprocesses, and runs the policy in one XLA
+    computation (envs/render_jax.py; byte-identical to the host renderer that
+    produced the training frames).
+
+    fn(params, state, goal, carry, key, step_idx) -> (action, new_carry)
+    where state = {"robot_obs": (K, 15) f32, "scene_obs": (K, 24) f32}.
+    """
+
+    @jax.jit
+    def step_fn(params, state, goal, carry, key, step_idx):
+        robot = state["robot_obs"].astype(jnp.float32)
+        frames = render_fn(state["scene_obs"].astype(jnp.float32), robot)
+        raw = {k: frames[k][:, None] for k in rgb_keys if k in frames}
+        raw.update({k: frames[k][:, None] for k in depth_keys if k in frames})
+        raw["robot_obs_raw"] = robot[:, None]
+        raw["actions"] = jnp.zeros(robot.shape[:1] + (1, 7), jnp.float32)
+        key = jax.random.fold_in(key, step_idx)
+        tfd = transform(prng.stream(key, "obs"), raw)
+        action, new_carry = model.apply(
+            params, tfd["rgb_obs"], tfd["depth_obs"], tfd["robot_obs"],
+            tfd["robot_obs_raw"], goal, carry,
+            rngs={"sample": prng.stream(key, "sample")},
+            method=Hulc2.policy_step,
+        )
+        grip = jnp.where(action[..., -1] > 0, 1.0, -1.0).astype(action.dtype)
+        action = jnp.concatenate([action[..., :-1], grip[..., None]], axis=-1)
+        return action, new_carry
+
+    return step_fn
