@@ -106,8 +106,21 @@ def _cpu_measurable_fields() -> dict:
     return fields
 
 
+def _deadline() -> float:
+    """Wall-clock budget for the whole bench (BENCH_BUDGET_S, default 1500 s).
+    Optional phases check it and skip rather than risk the driver's capture
+    window closing with nothing printed — a partial headline line beats a
+    timeout with zero evidence (three rounds of null captures, VERDICT r4 #4)."""
+    return time.monotonic() + float(os.environ.get("BENCH_BUDGET_S", "1500"))
+
+
 def main():
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    # compile cache in the repo (not /tmp): survives host recycles, so a
+    # driver-side run after this session compiles warm (measured 108 s -> 3.7 s)
+    repo_cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), "runs", "jax_cache")
+    os.makedirs(repo_cache, exist_ok=True)
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", repo_cache)
+    deadline = _deadline()
     if os.environ.get("BENCH_SKIP_PROBE", "") != "1" and not _backend_available_with_retries():
         # structured skip (rc 0): the driver's BENCH capture stays parseable
         # through a backend outage instead of recording a raw traceback —
@@ -229,10 +242,12 @@ def main():
             flops_source = "lowered.cost_analysis"
     except Exception as e:  # cost_analysis is backend-dependent; never fatal
         print(f"# cost_analysis unavailable: {e}", file=sys.stderr)
-    if flops_per_step is None:
+    if flops_per_step is None and time.monotonic() < deadline - 120:
         # FLOPs are a property of the program+shapes, not the backend: compile
         # the identical step on CPU in a subprocess (~50 s on this host) and
-        # read the compiled module's cost analysis (tools/flops_probe.py)
+        # read the compiled module's cost analysis (tools/flops_probe.py).
+        # Known value for the standard batch-32 config is cached so warm runs
+        # skip the subprocess entirely.
         flops_per_step = _flops_probe_cpu(b)
         flops_source = "cpu-subprocess compiled cost_analysis" if flops_per_step else None
     if flops_per_step:
@@ -242,13 +257,22 @@ def main():
     # ---- end-to-end: real input pipeline feeding the same train step ----
     loader_sps, loader_desc, loader_extras = None, "skipped", {}
     if os.environ.get("BENCH_DEVICE_ONLY", "") != "1":
-        loader_sps, loader_desc, loader_extras = _loader_fed_throughput(
-            cfg, train_step, state, key, kl_beta, b, iters
-        )
+        if time.monotonic() < deadline - 180:
+            try:
+                loader_sps, loader_desc, loader_extras = _loader_fed_throughput(
+                    cfg, train_step, state, key, kl_beta, b, iters
+                )
+            except Exception as e:  # keep the headline number on a phase crash
+                loader_desc = f"failed: {e}"
+                print(f"# loader-fed phase failed: {e}", file=sys.stderr)
+        else:
+            loader_desc = "skipped (bench budget)"
 
     # ---- affordance model (BASELINE config #2; VERDICT r3 #5) ----
     aff_extras = {}
-    if os.environ.get("BENCH_SKIP_AFF", "") != "1" and os.environ.get("BENCH_DEVICE_ONLY", "") != "1":
+    if (os.environ.get("BENCH_SKIP_AFF", "") != "1"
+            and os.environ.get("BENCH_DEVICE_ONLY", "") != "1"
+            and time.monotonic() < deadline - 120):
         try:
             aff_extras = _affordance_bench(iters)
         except Exception as e:  # never fail the headline metric on the aux bench
@@ -357,7 +381,26 @@ def _affordance_bench(iters: int = 20) -> dict:
 
 def _flops_probe_cpu(batch_size, timeout_s: int = 420):
     """FLOPs/step from a CPU-subprocess compile of the identical train step
-    (tools/flops_probe.py). Returns float or None on failure/timeout."""
+    (tools/flops_probe.py). Returns float or None on failure/timeout.
+    The result is cached in runs/flops_cache.json keyed on the composed model
+    config + batch (FLOPs are a pure function of program+shapes), so warm
+    bench runs skip the ~50 s subprocess compile."""
+    cache_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "runs", "flops_cache.json")
+    cache_key = None
+    try:
+        import hashlib
+
+        import hulc2_tpu.configs  # noqa: F401
+        from hulc2_tpu.core import config as cfg_lib
+        cfg_json = json.dumps(cfg_lib.compose("cfg_low_level")["model"], sort_keys=True, default=str)
+        cache_key = f"b{batch_size}-{hashlib.sha1(cfg_json.encode()).hexdigest()[:12]}"
+        with open(cache_path) as f:
+            cached = json.load(f).get(cache_key)
+        if cached:
+            return float(cached)
+    except Exception:
+        pass
     try:
         out = subprocess.run(
             [sys.executable, "-m", "hulc2_tpu.tools.flops_probe",
@@ -367,7 +410,19 @@ def _flops_probe_cpu(batch_size, timeout_s: int = 420):
         )
         for line in out.stdout.splitlines():
             if line.startswith("{"):
-                return float(json.loads(line)["flops"]) or None
+                flops = float(json.loads(line)["flops"]) or None
+                if flops and cache_key:
+                    try:
+                        data = {}
+                        if os.path.exists(cache_path):
+                            with open(cache_path) as f:
+                                data = json.load(f)
+                        data[cache_key] = flops
+                        with open(cache_path, "w") as f:
+                            json.dump(data, f)
+                    except Exception:
+                        pass
+                return flops
     except Exception as e:
         print(f"# flops_probe failed: {e}", file=sys.stderr)
     return None
