@@ -26,6 +26,7 @@ gripper dim — base_dataset.py:121-147), verified by equivalence tests
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Dict, Iterator, Optional, Sequence
 
 import jax
@@ -50,20 +51,32 @@ class DeviceFrameStore:
         self.id_to_row = ram_store.id_to_row
         self.image_keys = [k for k in image_keys if k in ram_store.arrays]
         put = (lambda a: jax.device_put(a, sharding)) if sharding is not None else jax.device_put
+        # store each frame FLATTENED to (N, prod(frame_shape)): TPU tiled
+        # layouts pad the two minor dims to (8, 128) sublanes x lanes, so a
+        # (N, 96, 96, 3) u8 array pads 96 lanes -> 128 (1.33x HBM, 9.0 GiB vs
+        # 6.8 GiB on the 263k-frame expert set — an OOM at full scale) AND
+        # the first gather inserts a whole-array relayout copy. Flat rows of
+        # 27,648 bytes are 128-divisible: zero padding, no relayout; the
+        # (B, S) gather reshapes its 28 MiB output instead.
+        self.frame_shapes = {k: ram_store.arrays[k].shape[1:] for k in self.image_keys}
         self.arrays: Dict[str, jax.Array] = {
-            k: put(ram_store.arrays[k]) for k in self.image_keys
+            k: put(np.ascontiguousarray(ram_store.arrays[k]).reshape(
+                ram_store.arrays[k].shape[0], -1))
+            for k in self.image_keys
         }
         self.nbytes = sum(int(ram_store.arrays[k].nbytes) for k in self.image_keys)
 
     def gather(self, rows: np.ndarray) -> Dict[str, jax.Array]:
         """rows (B, S) int32 -> {key: (B, S, ...) device array}. The gather is
         jit-compiled (one XLA gather per key) and dispatched async."""
-        return _jit_gather(self.arrays, jnp.asarray(rows))
+        shapes = tuple(sorted(self.frame_shapes.items()))
+        return _jit_gather(self.arrays, jnp.asarray(rows), shapes)
 
 
-@jax.jit
-def _jit_gather(arrays: Dict[str, jax.Array], rows: jax.Array) -> Dict[str, jax.Array]:
-    return {k: a[rows] for k, a in arrays.items()}
+@partial(jax.jit, static_argnums=2)
+def _jit_gather(arrays: Dict[str, jax.Array], rows: jax.Array, shapes) -> Dict[str, jax.Array]:
+    shapes = dict(shapes)
+    return {k: a[rows].reshape(rows.shape + shapes[k]) for k, a in arrays.items()}
 
 
 class DeviceGatherFusedLoader:
