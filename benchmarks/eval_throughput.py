@@ -8,6 +8,11 @@ Knobs (env vars):
   FARM     "inproc" (serial EnvFarm, default) or "proc" (ProcessEnvFarm:
            one worker process per env, parallel stepping; needs a
            multi-core host to show gains)
+  DEVICE_RENDER  "1": render observations inside the policy's jitted
+           program (envs/render_jax.py) — envs run state-only and the host
+           ships 39 floats/env instead of rendering ~30 KiB/env frames
+  HW       "static,gripper" render resolution (default "200,84"; the r5
+           flagship preset is "96,64")
 
 Measured (tunneled v5e, single-core host, DELAY=0): K=64 cohorts=1
 ~445 env-steps/s end-to-end — 2.4x the pre-fused-dispatch figure (185).
@@ -36,6 +41,8 @@ def main():
     K = int(os.environ.get("K", "64"))
     DELAY = float(os.environ.get("DELAY", "0"))
     FARM = os.environ.get("FARM", "inproc")
+    DEVICE_RENDER = os.environ.get("DEVICE_RENDER", "") == "1"
+    static_hw, gripper_hw = (int(x) for x in os.environ.get("HW", "200,84").split(","))
 
     cfg = cfg_lib.compose("cfg_low_level")
     model = build_policy(cfg["model"])
@@ -44,14 +51,17 @@ def main():
     sequences = get_sequences(40)
 
 
+    env_kw = dict(static_hw=static_hw, gripper_hw=gripper_hw,
+                  render_obs=not DEVICE_RENDER)
+
     def make_farm(c: int, per: int):
         if FARM == "proc":
             return ProcessEnvFarm(
-                [partial(FakeCalvinEnv, static_hw=200, gripper_hw=84, seed=100 * c + i,
-                         step_delay_s=DELAY) for i in range(per)]
+                [partial(FakeCalvinEnv, seed=100 * c + i, step_delay_s=DELAY, **env_kw)
+                 for i in range(per)]
             )
-        return EnvFarm([FakeCalvinEnv(static_hw=200, gripper_hw=84, seed=100 * c + i,
-                                      step_delay_s=DELAY) for i in range(per)])
+        return EnvFarm([FakeCalvinEnv(seed=100 * c + i, step_delay_s=DELAY, **env_kw)
+                        for i in range(per)])
 
 
     for n_cohorts in [int(x) for x in os.environ.get("COHORTS", "1,2,4").split(",")]:
@@ -59,8 +69,10 @@ def main():
         cohorts, shared = [], None
         for c in range(n_cohorts):
             farm = make_farm(c, per)
-            agent = Hulc2Agent(farm, model, params, cfg["datamodule"], n_envs=per,
-                               fused_step=shared)
+            agent = Hulc2Agent(
+                farm, model, params, cfg["datamodule"], n_envs=per, fused_step=shared,
+                device_render=(dict(static_hw=static_hw, gripper_hw=gripper_hw)
+                               if DEVICE_RENDER else None))
             shared = shared or agent._fused_step
             cohorts.append((farm, agent))
         ev = PipelinedEvaluator(cohorts, lang, ep_len=30)
@@ -72,7 +84,8 @@ def main():
         dt = time.time() - t0
         # each chain: 5 subtasks x 30 steps budget (untrained -> always times out)
         n_steps = len(sequences) * 5 * 30
-        print(f"K={K} farm={FARM} delay={DELAY} cohorts={n_cohorts}: "
+        print(f"K={K} farm={FARM} delay={DELAY} cohorts={n_cohorts} "
+              f"render={'device' if DEVICE_RENDER else 'host'}@{static_hw}: "
               f"{dt:6.1f} s  ~{n_steps/dt:7.0f} env-steps/s", flush=True)
         if FARM == "proc":
             for farm, _ in cohorts:
