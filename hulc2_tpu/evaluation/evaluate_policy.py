@@ -201,6 +201,10 @@ def main(argv=None):
             argv_rest += ["--aff-lang-embeddings", args.aff_lang_embeddings]
         if args.heuristic_oracle:
             argv_rest += ["--heuristic-oracle"]
+        if args.device_render:
+            argv_rest += ["--device-render"]
+        if args.paraphrase_eval:
+            argv_rest += ["--paraphrase-eval"]
         return run_all(argv_rest)
 
     t0 = time.time()
