@@ -133,7 +133,18 @@ class LogisticPolicyDecoder(nn.Module):
         return nll + self.gripper_alpha * ce
 
     def sample_actions(self, rng: jax.Array, out: DecoderOutput, robot_obs: jnp.ndarray) -> jnp.ndarray:
-        """Sample world-frame actions (B, S, A)."""
+        """Sample world-frame actions (B, S, A), clamped to the rel-action
+        range.
+
+        The clamp mirrors deployment semantics — the reference's env wrapper
+        clips actions before stepping (hulc2_wrapper.py:64-84), as does the
+        fake env. It also keeps validation MAE meaningful: near-zero-weight
+        mixture components drift to huge scales during training (NLL can't
+        see them), and although Gumbel selection picks one only ~1e-5 of
+        draws, a single unclamped |x|~500 sample dominates a whole epoch's
+        position-MAE average (observed: per-epoch pos_mae spiking 0.2 -> 6.5
+        -> 0.2 while the action NLL improved monotonically).
+        """
         cont = logistic.logistic_mixture_sample(rng, out.logit_probs, out.log_scales, out.means)
         if self.discrete_gripper:
             grip = self.gripper_bounds[jnp.argmax(out.gripper_logits, axis=-1)]
@@ -142,7 +153,7 @@ class LogisticPolicyDecoder(nn.Module):
             act = cont
         if self.gripper_control:
             act = tcp_to_world_frame(act, robot_obs)
-        return act
+        return jnp.clip(act, -1.0, 1.0)
 
 
 class DeterministicDecoder(nn.Module):
