@@ -320,6 +320,12 @@ register(
         "replan_freq": 30,
         "use_clip_auxiliary_loss": True,
         "clip_auxiliary_loss_beta": "${loss.clip_auxiliary_loss_beta}",
+        # task-CE supervision on the language tower (aux_nets.LangTaskHead):
+        # required for task-separable embeddings when the tower trains from
+        # scratch (language_encoder=clip_scratch) — the reference gets this
+        # separability for free from frozen SBERT (language_network.py:13)
+        "use_lang_task_auxiliary_loss": False,
+        "lang_task_classes": 34,
         "use_plan": True,
         "compute_dtype": "bfloat16",
     },
@@ -364,6 +370,7 @@ register(
         "state_recon_beta": 0.5,
         "bc_z_auxiliary_loss_beta": 1.0,
         "mia_auxiliary_loss_beta": 1.0,
+        "lang_task_auxiliary_loss_beta": 1.0,
     },
 )
 register(

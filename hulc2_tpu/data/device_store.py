@@ -162,8 +162,10 @@ class DeviceGatherFusedLoader:
             else:
                 dst[ws:] = acts[-1]
             if index.with_lang:
-                out["lang"][r - self.bv] = ds._lang_value(int(index.lang_lookup[idx]))
+                ann_row = int(index.lang_lookup[idx])
+                out["lang"][r - self.bv] = ds._lang_value(ann_row)
                 out["use_for_aux_lang_loss"][r - self.bv] = index.use_for_aux_lang_loss(idx)
+                out["lang_task_id"][r - self.bv] = ds._lang_task_id(ann_row)
 
     def _assemble(self, vis_idxs, lang_idxs, epoch: int) -> Dict[str, object]:
         b = self.bv + self.bl
@@ -181,6 +183,7 @@ class DeviceGatherFusedLoader:
         if self.lang.index.with_lang:
             small["lang"] = np.empty((self.bl, self._lang_dim), self._lang_dtype)
             small["use_for_aux_lang_loss"] = np.empty((self.bl,), np.bool_)
+            small["lang_task_id"] = np.empty((self.bl,), np.int32)
         self._plan_rows(self.vis, vis_idxs, epoch, rows, 0, small)
         self._plan_rows(self.lang, lang_idxs, epoch, rows, self.bv, small)
         batch: Dict[str, object] = dict(self.store.gather(rows))

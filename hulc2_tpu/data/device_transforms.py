@@ -385,6 +385,8 @@ def make_batch_transform(
         if "lang" in raw:
             out["lang"] = raw["lang"]
             out["use_for_aux_lang_loss"] = raw["use_for_aux_lang_loss"]
+            if "lang_task_id" in raw:
+                out["lang_task_id"] = raw["lang_task_id"]
         return out
 
     return transform

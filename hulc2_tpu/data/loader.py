@@ -351,7 +351,7 @@ def fuse_batch_host(batch: Dict[str, Dict]) -> Dict[str, np.ndarray]:
         for k in vis
         if k in lang and k not in _FUSE_SKIP_KEYS
     }
-    for k in ("lang", "use_for_aux_lang_loss"):
+    for k in ("lang", "use_for_aux_lang_loss", "lang_task_id"):
         if k in lang:
             fused[k] = np.asarray(lang[k])
     return fused

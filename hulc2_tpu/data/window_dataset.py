@@ -52,6 +52,7 @@ class WindowDataset:
         self.store = store
         self.obs_space = observation_space
         self._lang_tokens = None  # lazy CLIP-BPE table for string annotations
+        self._task_id_table = None  # lazy annotation-row -> task-id table
         self.pad = pad
         self.relative_actions = "rel_actions" in observation_space["actions"]
         self.action_key = observation_space["actions"][0]
@@ -111,7 +112,20 @@ class WindowDataset:
             ann_row = int(self.index.lang_lookup[idx])
             out["lang"] = self._lang_value(ann_row)
             out["use_for_aux_lang_loss"] = np.bool_(self.index.use_for_aux_lang_loss(idx))
+            out["lang_task_id"] = np.int32(self._lang_task_id(ann_row))
         return out
+
+    def _lang_task_id(self, ann_row: int) -> int:
+        """Task index of an annotation row (label for the LangTaskHead aux
+        loss; -1 when unknown). Mapped once against the canonical task list."""
+        if self._task_id_table is None:
+            from hulc2_tpu.evaluation.tasks import TASK_NAMES
+
+            lut = {t: i for i, t in enumerate(TASK_NAMES)}
+            tasks = self.index.lang_tasks or []
+            self._task_id_table = np.asarray(
+                [lut.get(str(t), -1) for t in tasks], np.int32)
+        return int(self._task_id_table[ann_row]) if len(self._task_id_table) else -1
 
     # ------------------------------------------------------------------ #
     # single-pass batch assembly (the fused-batch fast path)              #
@@ -133,6 +147,7 @@ class WindowDataset:
             lang0 = self._lang_value(0)
             specs["lang"] = ((batch, lang0.shape[-1]), lang0.dtype)
             specs["use_for_aux_lang_loss"] = ((batch,), np.bool_)
+            specs["lang_task_id"] = ((batch,), np.int32)
         return specs
 
     def write_into(self, idx: int, out: Dict[str, np.ndarray], row: int,
@@ -173,8 +188,10 @@ class WindowDataset:
             dst[ws:] = acts[-1]
 
         if self.index.with_lang:
-            out["lang"][row] = self._lang_value(int(self.index.lang_lookup[idx]))
+            ann_row = int(self.index.lang_lookup[idx])
+            out["lang"][row] = self._lang_value(ann_row)
             out["use_for_aux_lang_loss"][row] = bool(self.index.use_for_aux_lang_loss(idx))
+            out["lang_task_id"][row] = self._lang_task_id(ann_row)
 
     def _lang_value(self, ann_row: int) -> np.ndarray:
         """Precomputed embedding (E,) f32 — or, when the index loaded raw

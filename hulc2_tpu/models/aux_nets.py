@@ -77,6 +77,31 @@ class MIALangDiscriminator(nn.Module):
         return Dense(1, dtype=self.dtype, name="fc1")(x)
 
 
+class LangTaskHead(nn.Module):
+    """Task-classification head over the language-encoder output.
+
+    The reference conditions on FROZEN pretrained sentence embeddings (SBERT,
+    language_network.py:13), which arrive already task-separable. A
+    from-scratch in-graph tower trained only by behavior cloning + the CLIP
+    aux loss does not learn word-level distinctions ("left"/"right",
+    "on"/"off", block colors) from ~10k windows — measured: paraphrase ->
+    canonical task retrieval 45% in the trained tower's embedding space, and
+    the online policy half-ignores language. This head adds the missing
+    sentence-level supervision (same aux-loss family as BC-Z/MIA,
+    gcbc.py:95-180): cross-entropy to the auto-annotator's task label, which
+    the data pipeline already carries. Training-only; inference never calls
+    it."""
+
+    n_tasks: int = 34
+    hidden_size: int = 256
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, lang_emb):
+        x = jax.nn.relu(Dense(self.hidden_size, dtype=self.dtype, name="fc0")(lang_emb))
+        return Dense(self.n_tasks, dtype=jnp.float32, name="fc1")(x)
+
+
 class ClipProj(nn.Module):
     """Linear projection head used by CLIP-feature decoders
     (reference: hulc2/models/decoders/clip_proj.py:7)."""

@@ -236,7 +236,12 @@ def build_policy(model_cfg: dict) -> Hulc2:
     )
     vg_cfg = model_cfg["visual_goal"]
     use_clip = model_cfg.get("use_clip_auxiliary_loss", True)
-    from hulc2_tpu.models.aux_nets import BCZLangDecoder, MIALangDiscriminator, StateDecoder
+    from hulc2_tpu.models.aux_nets import (
+        BCZLangDecoder,
+        LangTaskHead,
+        MIALangDiscriminator,
+        StateDecoder,
+    )
 
     proprio_dim = (pe_cfg.get("proprio") or {}).get("n_state_obs", 8)
     # the bc_z aux loss compares the decoder prediction against lang_emb,
@@ -253,6 +258,11 @@ def build_policy(model_cfg: dict) -> Hulc2:
     state_dec = StateDecoder(n_state_obs=proprio_dim, dtype=dtype) if model_cfg.get("use_state_recons") else None
     bcz = BCZLangDecoder(lang_dim=lang_dim, dtype=dtype) if model_cfg.get("use_bc_z_auxiliary_loss") else None
     mia = MIALangDiscriminator(dtype=dtype) if model_cfg.get("use_mia_auxiliary_loss") else None
+    lth = (
+        LangTaskHead(n_tasks=int(model_cfg.get("lang_task_classes", 34)), dtype=dtype)
+        if model_cfg.get("use_lang_task_auxiliary_loss")
+        else None
+    )
     return Hulc2(
         perceptual_encoder=build_perceptual_encoder(pe_cfg),
         plan_proposal=PlanProposalNetwork(
@@ -283,4 +293,5 @@ def build_policy(model_cfg: dict) -> Hulc2:
         state_decoder=state_dec,
         bcz_lang_decoder=bcz,
         mia_discriminator=mia,
+        lang_task_head=lth,
     )

@@ -72,6 +72,10 @@ class Hulc2(nn.Module):
     state_decoder: Optional[nn.Module] = None
     bcz_lang_decoder: Optional[nn.Module] = None
     mia_discriminator: Optional[nn.Module] = None
+    # task-CE supervision on the language tower output — the from-scratch
+    # substitute for the task separability the reference inherits from frozen
+    # SBERT embeddings (aux_nets.LangTaskHead)
+    lang_task_head: Optional[nn.Module] = None
 
     def setup(self):
         if self.use_clip_auxiliary_loss:
@@ -208,6 +212,21 @@ class Hulc2(nn.Module):
             neg = self.mia_discriminator(vis_feat, jnp.roll(lang_emb, 1, axis=0))[..., 0]
             bce = jax.nn.softplus(-pos) + jax.nn.softplus(neg)  # -log(sig(pos)) - log(1-sig(neg))
             metrics["lang_contrastive_loss"] = jnp.sum(bce * mask) / jnp.maximum(mask.sum(), 1.0)
+        task_ids = (
+            batch.get("lang_task_id")
+            if fused_n_vis is not None
+            else (batch["lang"].get("lang_task_id") if "lang" in batch else None)
+        )
+        if self.lang_task_head is not None and has_lang and task_ids is not None:
+            logits = self.lang_task_head(lang_emb)
+            valid = (task_ids >= 0).astype(jnp.float32)
+            labels = jnp.maximum(task_ids, 0)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            ce = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+            denom = jnp.maximum(valid.sum(), 1.0)
+            metrics["lang_task_loss"] = jnp.sum(ce * valid) / denom
+            acc = (logits.argmax(-1) == labels).astype(jnp.float32)
+            metrics["lang_task_acc"] = jnp.sum(acc * valid) / denom
         metrics.update(kl_loss=kl_loss, action_loss=action_loss, total_loss=total)
         return metrics
 

@@ -126,7 +126,13 @@ class Trainer:
 
         transforms = self._build_transforms(train=True)
         train_step = make_train_step(
-            self.model, tx, transforms, cfg["loss"]["clip_auxiliary_loss_beta"]
+            self.model, tx, transforms, cfg["loss"]["clip_auxiliary_loss_beta"],
+            aux_betas={
+                "proprio_loss": cfg["loss"].get("state_recon_beta", 0.5),
+                "lang_pred_loss": cfg["loss"].get("bc_z_auxiliary_loss_beta", 1.0),
+                "lang_contrastive_loss": cfg["loss"].get("mia_auxiliary_loss_beta", 1.0),
+                "lang_task_loss": cfg["loss"].get("lang_task_auxiliary_loss_beta", 1.0),
+            },
         )
         val_step = make_val_step(self.model, self._build_transforms(train=False))
         root_key = prng.root_key(cfg["training"].get("seed", 42))

@@ -202,3 +202,90 @@ class TestPolicyClipScratchPreset:
         assert le["_name_"] == "clip_text" and le["layers"] == 2 and not le["frozen"]
         model = build_policy(cfg["model"])
         assert model.lang_net is not None and model.lang_net.output_dim == 384
+
+
+class TestLangTaskAuxLoss:
+    """Task-CE supervision on the language tower (aux_nets.LangTaskHead) —
+    the from-scratch substitute for the task separability the reference
+    inherits from frozen SBERT (language_network.py:13)."""
+
+    def _model(self):
+        from hulc2_tpu.models.build import build_policy
+
+        cfg = cfg_lib.compose(
+            "cfg_low_level",
+            ["model/language_encoder=clip_scratch",
+             "model.use_lang_task_auxiliary_loss=true",
+             "model.language_encoder.width=64", "model.language_encoder.heads=2",
+             "model.plan_proposal.hidden_size=32",
+             "model.plan_recognition.encoder_hidden_size=32",
+             "model.plan_recognition.fc_hidden_size=32",
+             "model.action_decoder.hidden_size=32",
+             "model.compute_dtype=float32"],
+        )
+        return build_policy(cfg["model"])
+
+    def _batch(self, b=2, s=4, task_ids=(3, 5)):
+        import jax.numpy as jnp
+        import numpy as np
+
+        rng = np.random.RandomState(0)
+
+        def mod(with_lang):
+            d = {
+                "rgb_obs": {
+                    "rgb_static": jnp.asarray(rng.rand(b, s, 64, 64, 3), jnp.float32),
+                    "rgb_gripper": jnp.asarray(rng.rand(b, s, 64, 64, 3), jnp.float32),
+                },
+                "depth_obs": {},
+                "robot_obs": jnp.asarray(rng.rand(b, s, 8), jnp.float32),
+                "actions": jnp.asarray(np.clip(rng.randn(b, s, 7), -1, 1), jnp.float32),
+                "robot_obs_raw": jnp.asarray(rng.rand(b, s, 15), jnp.float32),
+            }
+            if with_lang:
+                d["lang"] = jnp.asarray(rng.randint(1, 1000, (b, 77)), jnp.int32)
+                d["use_for_aux_lang_loss"] = jnp.ones((b,), bool)
+                d["lang_task_id"] = jnp.asarray(task_ids, jnp.int32)
+            return d
+
+        return {"vis": mod(False), "lang": mod(True)}
+
+    def test_metrics_present_and_masked(self):
+        import jax
+        import jax.numpy as jnp
+
+        model = self._model()
+        assert model.lang_task_head is not None
+        batch = self._batch()
+        rngs = {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1),
+                "dropout": jax.random.PRNGKey(2)}
+        params = model.init(rngs, batch)
+        m = model.apply(params, batch, 0.01, True,
+                        rngs={"sample": jax.random.PRNGKey(3), "dropout": jax.random.PRNGKey(4)})
+        assert "lang_task_loss" in m and "lang_task_acc" in m
+        assert float(m["lang_task_loss"]) > 0 and 0 <= float(m["lang_task_acc"]) <= 1
+
+        # unknown labels (-1) are masked out of the CE mean
+        batch2 = self._batch(task_ids=(3, -1))
+        m2 = model.apply(params, batch2, 0.01, True,
+                         rngs={"sample": jax.random.PRNGKey(3), "dropout": jax.random.PRNGKey(4)})
+        assert jnp.isfinite(m2["lang_task_loss"])
+
+    def test_dataset_emits_task_ids(self, tmp_path):
+        import numpy as np
+
+        from hulc2_tpu.tools.make_expert_dataset import make_expert_dataset
+        from hulc2_tpu.data.datamodule import Hulc2DataModule
+        from hulc2_tpu.evaluation.tasks import TASK_NAMES
+
+        root = make_expert_dataset(tmp_path / "ds", episodes=2, tasks_per_episode=10,
+                                   val_episodes=1, val_tasks_per_episode=6,
+                                   static_hw=64, gripper_hw=48, lang_tokens=True, seed=0)
+        dm_cfg = dict(cfg_lib.compose("cfg_low_level")["datamodule"])
+        dm_cfg.update(root_data_dir=str(root), batch_size_vis=2, batch_size_lang=2,
+                      load_lang_embeddings=False, max_window_size=8, min_window_size=8)
+        dm = Hulc2DataModule(dm_cfg, use_shm_cache=False)
+        dm.setup()
+        batch = next(iter(dm.fused_train_iter()))
+        assert "lang_task_id" in batch and batch["lang_task_id"].dtype == np.int32
+        assert all(0 <= t < len(TASK_NAMES) for t in batch["lang_task_id"])
