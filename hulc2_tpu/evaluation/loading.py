@@ -74,6 +74,11 @@ def dummy_model_batch(cfg: dict, b: int = 1, s: int = 2):
         "lang": lang_value,
         "use_for_aux_lang_loss": jnp.zeros((b,), bool),
     }
+    if cfg["model"].get("use_lang_task_auxiliary_loss"):
+        # the LangTaskHead only materializes params when labels are present —
+        # the template must include them or checkpoint restore fails with a
+        # tree mismatch
+        lang["lang_task_id"] = jnp.zeros((b,), jnp.int32)
     return {"vis": batch, "lang": lang}
 
 
