@@ -34,20 +34,62 @@ def detect_task_windows(
     window: int = 64,
     stride: int = 16,
     tasks: Sequence[str] = TASK_NAMES,
+    align_end: bool = True,
+    tail: int = 8,
 ) -> List[dict]:
     """Slide a window over each episode; keep windows where exactly ONE task
-    completed (unambiguous annotation, like the reference's oracle check)."""
+    completed (unambiguous annotation, like the reference's oracle check).
+
+    ``align_end`` (default): refine each hit to the EARLIEST frame where the
+    oracle fires and re-anchor the window to end ``tail`` frames after it —
+    the reference annotator's end-at-completion convention
+    (automatic_lang_annotator_mp.py:78-97 collects the window *behind* the
+    detected completion). Without alignment the completion can sit anywhere
+    inside the 64-frame range, so training sub-windows sampled from the tail
+    of the range contain ONLY post-task retreat/idle yet carry the task's
+    sentence — which teaches the policy to retreat mid-task (the r5 flagship
+    push/stack failure mode: contact + correct direction, then retreat at
+    the replan boundary). Near-duplicate refinements of the same completion
+    event (overlapping slide positions) are collapsed."""
     oracle = SceneObsTaskOracle()
     hits = []
     for start, end in ep_ids:
-        for s in range(int(start), int(end) - window + 1, stride):
-            a = store.load_frame(s)
-            b = store.load_frame(s + window - 1)
-            info_a = {"scene_obs": a["scene_obs"]}
-            info_b = {"scene_obs": b["scene_obs"]}
+        start, end = int(start), int(end)
+        last_end: Dict[str, int] = {}  # task -> last aligned end kept
+        for s in range(start, end - window + 1, stride):
+            info_a = {"scene_obs": store.load_frame(s)["scene_obs"]}
+            info_b = {"scene_obs": store.load_frame(s + window - 1)["scene_obs"]}
             done = oracle.get_task_info_for_set(info_a, info_b, tasks)
-            if len(done) == 1:
-                hits.append({"task": next(iter(done)), "indx": (s, s + window - 1)})
+            if len(done) != 1:
+                continue
+            task = next(iter(done))
+            if not align_end:
+                hits.append({"task": task, "indx": (s, s + window - 1)})
+                continue
+            # earliest f in (s, s+window-1] with oracle(s -> f) firing
+            lo, hi = s + 1, s + window - 1
+            while lo < hi:
+                mid = (lo + hi) // 2
+                dm = oracle.get_task_info_for_set(
+                    info_a, {"scene_obs": store.load_frame(mid)["scene_obs"]}, [task])
+                if task in dm:
+                    hi = mid
+                else:
+                    lo = mid + 1
+            w_end = min(end, lo + tail)
+            if task in last_end and abs(w_end - last_end[task]) <= window // 2:
+                continue  # same completion event seen from an earlier slide
+            # Longest unambiguous lookback: the full 64-frame history usually
+            # spans the PREVIOUS task's completion too (play tasks run
+            # ~30-60 frames back to back), so shrink the start until exactly
+            # this one task completes in range rather than dropping the hit.
+            db = {"scene_obs": store.load_frame(w_end)["scene_obs"]}
+            for w_start in range(max(start, w_end - window + 1), w_end - 26, 6):
+                da = {"scene_obs": store.load_frame(w_start)["scene_obs"]}
+                if oracle.get_task_info_for_set(da, db, tasks) == {task}:
+                    last_end[task] = w_end
+                    hits.append({"task": task, "indx": (w_start, w_end)})
+                    break
     return hits
 
 

@@ -85,6 +85,49 @@ class TestAnnotator:
         emb = np.load(d / "lang_annotations" / "embeddings.npy", allow_pickle=True).item()
         assert set(emb) == set(ANNOTATION_BANK)
 
+    def test_windows_end_at_completion(self, tmp_path):
+        """Aligned annotation: the oracle event sits ``tail`` frames before
+        the window END (the reference annotator's end-at-completion
+        convention, automatic_lang_annotator_mp.py:78-97) — never mid-range,
+        where sub-windows sampled after it would pair post-task retreat with
+        the task's sentence (the r5 flagship push/stack failure mode)."""
+        d = tmp_path / "training"
+        write_play_dataset(d, [(0, 127)], with_scene_task="open_drawer")
+        lang = annotate_dataset(d, window=64, stride=8)
+        assert len(lang["info"]["indx"]) >= 1  # dedup: one event, ~one row
+        for s, e in lang["info"]["indx"]:
+            assert e == 40 + 8, (s, e)  # completion frame 40 + tail 8
+            assert e - s + 1 >= 27
+
+    def test_back_to_back_completions_shrink_not_drop(self, tmp_path):
+        """Two tasks completing ~45 frames apart: a full 64-frame lookback
+        from the second completion spans the first, so the window must
+        SHRINK to stay unambiguous instead of being dropped."""
+        d = tmp_path / "training"
+        rng = np.random.default_rng(0)
+        d.mkdir(parents=True, exist_ok=True)
+        np.save(d / "ep_start_end_ids.npy", np.asarray([(0, 159)]))
+        scene = np.zeros(24)
+        for i in range(160):
+            if i == 40:
+                scene = scene.copy()
+                scene[1] = 0.22  # open_drawer completes
+            if i == 85:
+                scene = scene.copy()
+                scene[4] = 1.0  # turn_on_lightbulb completes
+            np.savez(d / f"episode_{i:07d}.npz",
+                     robot_obs=rng.standard_normal(15).astype(np.float32),
+                     scene_obs=scene.astype(np.float32),
+                     actions=rng.uniform(-0.4, 0.4, 7).astype(np.float32),
+                     rel_actions=rng.uniform(-1, 1, 7).astype(np.float32))
+        lang = annotate_dataset(d, window=64, stride=8)
+        by_task = {t: ix for t, ix in
+                   zip(lang["language"]["task"], lang["info"]["indx"])}
+        assert set(by_task) == {"open_drawer", "turn_on_lightbulb"}
+        s2, e2 = by_task["turn_on_lightbulb"]
+        assert e2 == 85 + 8
+        assert s2 > 40  # shrunk past the earlier completion
+
     def test_validation_split_uses_canonical_bank(self, tmp_path):
         """Validation windows get the single fixed phrasing per task
         (reference: annotations@val_instructions binding, conf/lang_ann.yaml:10)."""
