@@ -24,14 +24,17 @@ next job — envs never idle waiting for the slowest chain.
 """
 from __future__ import annotations
 
+import json
 import logging
 import threading
 import time
+from pathlib import Path
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
 from hulc2_tpu.envs.task_oracle import SceneObsTaskOracle
+from hulc2_tpu.evaluation.harness import count_success
 from hulc2_tpu.evaluation.initial_states import get_env_state_for_initial_condition
 from hulc2_tpu.evaluation.sequences import get_sequences
 
@@ -288,6 +291,25 @@ class PipelinedEvaluator:
             "aff_flush_s": 0.0, "dispatch_submit_s": 0.0,
         }
         self.throughput_curve: List[dict] = []
+        # optional crash/cutoff insurance: when set, each curve point dumps
+        # the completed chains so far (chains finish in arbitrary order, so
+        # the partial mean over completed chains is an unbiased estimate)
+        self.partial_path: Optional[Path] = None
+        self._done_idx: List[int] = []
+
+    def _dump_partial(self, n_jobs: int, elapsed_s: float, n_steps: int) -> None:
+        """Write the completed-chains-so-far summary to ``partial_path``.
+        Chains complete in arbitrary order, so the partial mean over
+        completed chains is an unbiased estimate of the protocol mean."""
+        done = [self._results[i] for i in self._done_idx]
+        self.partial_path.write_text(json.dumps({
+            "completed_chains": len(done),
+            "total_chains": n_jobs,
+            "avg_seq_len_partial": round(float(np.mean(done)), 4) if done else None,
+            "chain_sr_partial": count_success(done) if done else None,
+            "elapsed_s": round(elapsed_s, 1),
+            "env_steps_per_s": round(n_steps / max(elapsed_s, 1e-9), 1),
+        }))
 
     # ---- shared queue ------------------------------------------------- #
     def take_job(self) -> Optional[int]:
@@ -301,6 +323,7 @@ class PipelinedEvaluator:
         self._results[job.job_idx] = job.result
         job.done = True
         self._completed += 1
+        self._done_idx.append(job.job_idx)
 
     def record_subtask(self, job: _EnvJob, subtask: str, success: bool) -> None:
         self.subtask_records.append({
@@ -455,6 +478,8 @@ class PipelinedEvaluator:
                 })
                 prev_curve = (n_steps, el)
                 next_curve += curve_every
+                if self.partial_path is not None:
+                    self._dump_partial(n_jobs, el, n_steps)
         dt = time.time() - t0
         self.total_env_steps = n_steps
         self.wall_clock_s = dt

@@ -345,6 +345,8 @@ def main(argv=None):
                                 affordance=affordance, aff_lang_embeddings=aff_lang,
                                 lang_variants=lang_variants,
                                 aff_lang_variants=aff_lang_variants)
+        log_dir.mkdir(parents=True, exist_ok=True)
+        ev.partial_path = log_dir / "partial_results.json"  # cutoff insurance
         results = ev.evaluate(sequences=sequences)
         if affordance is not None:
             logger.info("hierarchical mode: %d affordance predictions, %d approaches, "

@@ -28,6 +28,24 @@ TINY = [
 ]
 
 
+class TestPartialDump:
+    def test_partial_results_snapshot(self, tmp_path):
+        """Cutoff insurance: the evaluator can snapshot completed chains
+        mid-run; the file carries an unbiased partial mean + SR curve."""
+        import json
+
+        ev = PipelinedEvaluator([], {"t": np.zeros(4, np.float32)})
+        ev.partial_path = tmp_path / "partial_results.json"
+        ev._results = [3, 0, 5, 1, 0, 0]
+        ev._done_idx = [2, 0, 3]  # arbitrary completion order
+        ev._dump_partial(n_jobs=6, elapsed_s=10.0, n_steps=4000)
+        d = json.loads(ev.partial_path.read_text())
+        assert d["completed_chains"] == 3 and d["total_chains"] == 6
+        assert d["avg_seq_len_partial"] == 3.0  # mean of 5,3,1
+        assert d["chain_sr_partial"][0] == 1.0  # all 3 completed >=1
+        assert d["env_steps_per_s"] == 400.0
+
+
 class TestBatchedEvaluator:
     @pytest.mark.slow
     def test_schedules_all_chains(self):
