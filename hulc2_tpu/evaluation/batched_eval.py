@@ -299,8 +299,11 @@ class PipelinedEvaluator:
 
     def _dump_partial(self, n_jobs: int, elapsed_s: float, n_steps: int) -> None:
         """Write the completed-chains-so-far summary to ``partial_path``.
-        Chains complete in arbitrary order, so the partial mean over
-        completed chains is an unbiased estimate of the protocol mean."""
+        Chains are drawn from the shared queue in arbitrary order, but a
+        chain's completion TIME correlates with its outcome (failed subtasks
+        burn the full ep_len budget; successful ones end at oracle success),
+        so early snapshots are a biased estimate — the bias vanishes as
+        completed_chains approaches total_chains."""
         done = [self._results[i] for i in self._done_idx]
         self.partial_path.write_text(json.dumps({
             "completed_chains": len(done),
